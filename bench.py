@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the driver.
+
+Runs the flagship instance (instML100k: 943x1682, k=30, 100k ratings,
+3000 full-batch GD iterations — the largest published fixture whose
+.in survives) end-to-end on the default JAX backend and prints ONE
+JSON line.
+
+Two modes are measured:
+  * float64 — exact-conformance mode (golden output byte-match; on TPU
+    this lowers to double-float matmul emulation and still matches);
+  * float32 — speed mode (argmax agreement reported instead).
+
+Headline metric: the exact-conformance (f64) end-to-end wall time, the
+honest apples-to-apples number against the reference's all-f64 serial
+104.930 s (report-omp.pdf Table 2; BASELINE.md). vs_baseline is the
+speedup over that serial number (>1 is better). The f32 numbers ride
+along as extra fields.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SERIAL_S = 104.930  # report-omp.pdf Table 2, instML100k serial
+BASELINE_BEST_S = 13.922  # report-omp.pdf Table 2, instML100k OMP-8
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "instML100k.in"
+)
+
+
+def timed_run(spec, cfg, repeats=2):
+    from recsys_tpu.engine import trainer
+
+    out, _ = trainer.run(spec, cfg)  # warm-up: compiles everything
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out, _ = trainer.run(spec, cfg)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.io.parser import load_problem
+
+    spec = load_problem(FIXTURE)
+    golden = open(os.path.join(os.path.dirname(FIXTURE), "instML100k.out")).read()
+    glines = golden.splitlines()
+
+    wall64, out64 = timed_run(spec, RunConfig(dtype="float64"))
+    wall32, out32 = timed_run(spec, RunConfig(dtype="float32"))
+    agree32 = sum(x == y for x, y in zip(out32.splitlines(), glines)) / len(glines)
+
+    print(
+        json.dumps(
+            {
+                "metric": "instML100k_end_to_end_wall_f64_exact",
+                "value": round(wall64, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SERIAL_S / wall64, 2),
+                "golden_match_f64": out64 == golden,
+                "wall_f32_s": round(wall32, 4),
+                "vs_baseline_f32": round(BASELINE_SERIAL_S / wall32, 2),
+                "argmax_agreement_f32": round(agree32, 4),
+                "vs_best_published_f64": round(BASELINE_BEST_S / wall64, 2),
+                "updates_per_s_f64": round(spec.iters * spec.nnz / wall64),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
+from recsys_tpu.ops.coo import coo_gd_step, make_coo_inputs
+from recsys_tpu.ops.topk import top1_blocked
+
+__all__ = [
+    "dense_gd_step",
+    "make_dense_inputs",
+    "coo_gd_step",
+    "make_coo_inputs",
+    "top1_blocked",
+]

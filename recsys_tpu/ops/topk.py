@@ -1,0 +1,72 @@
+"""Top-1 recommendation: masked argmax without materializing B.
+
+The reference's serial path materializes the full dense B = L·Rᵀ
+(``matFact.c:55``) and scans it (``matFact.c:10-27``); its MPI path
+computes dots on the fly precisely because B never fits at scale
+(``matFact-mpi.c:51-103``). Here the streaming form is the only form:
+a ``lax.scan`` over item blocks keeps a running (best value, best index)
+per user, reconstructing one (users × block) tile of B per step on the
+MXU. Tie-break matches the reference's strictly-greater scan: a new
+block value must *exceed* the incumbent, and within a block
+``jnp.argmax`` picks the first maximum — so the lowest item index wins.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_tpu.config import ProblemSpec
+
+
+def top1_blocked(L, R, mask_blocks, block_items: int):
+    """Masked top-1 item per user.
+
+    ``mask_blocks``: bool[(num_blocks, users, block_items)] — True where
+    rated (those entries are excluded). Items padded beyond the true
+    count must be masked True by the caller.
+
+    Returns int32[users] winning item indices.
+    """
+    users = L.shape[0]
+    neg = jnp.array(-jnp.inf, dtype=L.dtype)
+    num_blocks = mask_blocks.shape[0]
+    R_blocks = R.reshape(num_blocks, block_items, R.shape[1])
+
+    def body(carry, inp):
+        best_val, best_idx = carry
+        blk_idx, r_blk, mask = inp
+        b = L @ r_blk.T  # (users, block_items) on the MXU
+        b = jnp.where(mask, neg, b)
+        val = jnp.max(b, axis=1)
+        idx = jnp.argmax(b, axis=1).astype(jnp.int32) + blk_idx * block_items
+        take = val > best_val  # strictly greater: incumbent (lower index) wins ties
+        return (jnp.where(take, val, best_val), jnp.where(take, idx, best_idx)), None
+
+    init = (jnp.full((users,), neg, dtype=L.dtype), jnp.zeros((users,), jnp.int32))
+    (best_val, best_idx), _ = jax.lax.scan(
+        body, init, (jnp.arange(num_blocks, dtype=jnp.int32), R_blocks, mask_blocks)
+    )
+    return best_idx
+
+
+def make_mask_blocks(spec: ProblemSpec, block_items: int) -> np.ndarray:
+    """Host-side rated-mask, padded along items to a block multiple and
+    reshaped to (num_blocks, users, block_items). Padding is masked True."""
+    items_pad = -(-spec.items // block_items) * block_items
+    m = np.zeros((spec.users, items_pad), dtype=bool)
+    m[spec.rows, spec.cols] = True
+    m[:, spec.items :] = True
+    return np.ascontiguousarray(
+        m.reshape(spec.users, items_pad // block_items, block_items).transpose(1, 0, 2)
+    )
+
+
+def pad_items(R: np.ndarray, items: int, block_items: int) -> np.ndarray:
+    """Pad R (items × k) with zero rows to a block multiple."""
+    items_pad = -(-items // block_items) * block_items
+    if items_pad == items:
+        return R
+    pad = np.zeros((items_pad - items, R.shape[1]), dtype=R.dtype)
+    return np.concatenate([R, pad], axis=0)

@@ -1,0 +1,122 @@
+"""Multi-device end-to-end engine: ingest → shard → train → top-1.
+
+The distributed analogue of the reference MPI driver main
+(``matFact-mpi.c:517-679``), minus everything the sharding model makes
+unnecessary: no derived wire datatypes, no streamed sends, no
+count-base-once allreduce bookkeeping, no Gatherv — factors are
+generated once on host in the serial RNG order (determinism contract,
+§0 of SURVEY), device_put with NamedShardings, and the result is
+fetched with ordinary array indexing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from recsys_tpu.config import ProblemSpec, RunConfig
+from recsys_tpu.models.mf import MFState, init_factors
+from recsys_tpu.parallel import sharding as shp
+from recsys_tpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS, make_mesh
+from recsys_tpu.parallel.step import make_coo_train, make_dense_train, make_sharded_top1
+
+DENSE_BUDGET_BYTES = 2 << 30
+
+
+def _choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int) -> str:
+    if cfg.path != "auto":
+        return cfg.path
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    # Budget is per-device: the dense A/M blocks shard across the mesh.
+    total = 2 * spec.users * spec.items * itemsize
+    return "dense" if total <= DENSE_BUDGET_BYTES * n_devices else "coo"
+
+
+def factorize_sharded(
+    spec: ProblemSpec,
+    cfg: RunConfig = RunConfig(),
+    state: MFState | None = None,
+    mesh=None,
+) -> tuple[MFState, "jax.sharding.Mesh"]:
+    """Train over the 2-D mesh; returns (padded sharded factors, mesh)."""
+    dt = jnp.dtype(cfg.dtype)
+    if mesh is None:
+        mesh = make_mesh(spec.users, spec.items, shape=cfg.mesh_shape)
+    pu, pi = mesh.devices.shape
+
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    L0, R0 = shp.pad_factors(
+        np.asarray(state.L, dtype=dt), np.asarray(state.R, dtype=dt), pu, pi
+    )
+    sL = NamedSharding(mesh, P(AXIS_USERS, None))
+    sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
+    L0 = jax.device_put(L0, sL)
+    R0 = jax.device_put(R0, sR)
+    alpha2 = dt.type(2.0 * spec.alpha)
+
+    path = _choose_path(spec, cfg, pu * pi)
+    if path == "dense":
+        A, M = shp.dense_blocks(spec, pu, pi, dtype=dt)
+        sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
+        train = make_dense_train(mesh, alpha2, spec.iters)
+        L, R = train(L0, R0, jax.device_put(A, sAM), jax.device_put(M, sAM))
+    else:
+        shards, u_blk, i_blk = shp.bucket_coo(spec, pu, pi, dtype=dt)
+        sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
+        dev = [jax.device_put(np.asarray(x), sE) for x in shards]
+        train = make_coo_train(mesh, alpha2, spec.iters, u_blk, i_blk)
+        L, R = train(L0, R0, *dev)
+    return MFState(L=L, R=R), mesh
+
+
+def recommend_sharded(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
+    """Distributed masked top-1; returns int32[users] on host."""
+    pu, pi = mesh.devices.shape
+    i_blk = shp.pad_up(spec.items, pi) // pi
+    mask = shp.rated_mask_padded(spec, pu, pi)
+    sM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
+    top1_fn = make_sharded_top1(mesh, i_blk)
+    top1 = top1_fn(state.L, state.R, jax.device_put(mask, sM))
+    return np.asarray(top1)[: spec.users]
+
+
+def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, np.ndarray]:
+    from recsys_tpu.io.writers import format_recommendations
+
+    state, mesh = factorize_sharded(spec, cfg)
+    top1 = recommend_sharded(state, spec, mesh)
+    return format_recommendations(top1, spec.rated_counts(), spec.items), top1
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: jit + execute one full sharded training step (both
+    formulations) and the sharded top-1 on tiny shapes over an
+    n_devices-device 2-D mesh."""
+    import dataclasses
+
+    from recsys_tpu.io.generator import generate_instance
+
+    devs = jax.devices()[:n_devices]
+    pu = 1
+    for cand in range(int(n_devices**0.5), 0, -1):
+        if n_devices % cand == 0:
+            pu = cand
+            break
+    mesh = make_mesh(0, 0, shape=(pu, n_devices // pu), devices=devs)
+
+    spec = generate_instance(12, 20, 4, 1, 5, iters=1, alpha=0.01, seed=7)
+    for path in ("dense", "coo"):
+        cfg = RunConfig(dtype="float32", path=path)
+        state, _ = factorize_sharded(spec, cfg, mesh=mesh)
+        top1 = recommend_sharded(state, spec, mesh)
+        assert top1.shape == (spec.users,)
+    # Cross-check the two sharded paths agree after one step.
+    s_d, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="dense"), mesh=mesh)
+    s_c, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s_d.L), np.asarray(s_c.L), rtol=2e-5, atol=2e-6
+    )

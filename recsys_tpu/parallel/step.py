@@ -1,0 +1,141 @@
+"""Sharded training and inference steps (shard_map over the 2-D mesh).
+
+The reference's distributed hot loop (``matFact-mpi.c:155-214``) is:
+local gradient accumulation over the rank's COO chunk, then two
+overlapped MPI_Iallreduce(SUM) — L-deltas over the grid-row
+communicator, R-deltas over the grid-column communicator. Here the
+entire iteration loop runs inside one ``shard_map``-ped, jitted
+program: per-shard delta computation followed by ``lax.psum`` over the
+'i' axis (for ΔL) and the 'u' axis (for ΔR). XLA schedules both
+all-reduces on ICI and overlaps them with compute; there is no
+count-the-base-once dance (``matFact-mpi.c:187-188``) because only the
+deltas are summed.
+
+The top-1 pipeline mirrors ``matFact-mpi.c:51-153``: per-shard masked
+argmax over the local item block (B is never materialized globally),
+then an argmax-with-lowest-index reduction across the items axis —
+the reference's custom MPI_Op ``max_cmp`` (``matFact-mpi.c:23-28``)
+becomes an all_gather of per-shard (value, index) pairs in ascending
+block order + a first-maximum argmax, which preserves the tie-break
+because item blocks are contiguous and ascending.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from recsys_tpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
+
+
+def make_dense_train(mesh, alpha2, iters: int):
+    """Jitted sharded dense trainer: (L, R, A, M) -> (L', R').
+
+    L: (users_pad, k) sharded P('u', None); R: (items_pad, k) P('i', None);
+    A, M: (users_pad, items_pad) P('u', 'i').
+    """
+
+    def loop(L, R, A, M):
+        def body(_, c):
+            L, R = c
+            E = M * (A - L @ R.T)
+            dL = jax.lax.psum(E @ R, AXIS_ITEMS)
+            dR = jax.lax.psum(E.T @ L, AXIS_USERS)
+            return L + alpha2 * dL, R + alpha2 * dR
+
+        return jax.lax.fori_loop(0, iters, body, (L, R))
+
+    sharded = shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None), P(AXIS_USERS, AXIS_ITEMS), P(AXIS_USERS, AXIS_ITEMS)),
+        out_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_coo_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
+    """Jitted sharded COO trainer.
+
+    Entry buckets have shape (pu, pi, cap) sharded P('u','i',None); each
+    device sees its (1, 1, cap) bucket with block-local indices.
+    """
+
+    def loop(L, R, rows, cols, vals, weight, perm, cols_sorted):
+        rows, cols, vals = rows[0, 0], cols[0, 0], vals[0, 0]
+        weight, perm, cols_sorted = weight[0, 0], perm[0, 0], cols_sorted[0, 0]
+
+        def body(_, c):
+            L, R = c
+            l = L[rows]
+            r = R[cols]
+            err = weight * alpha2 * (vals - jnp.sum(l * r, axis=-1))
+            dL = jax.ops.segment_sum(
+                err[:, None] * r, rows, num_segments=u_blk, indices_are_sorted=True
+            )
+            g_r = (err[:, None] * l)[perm]
+            dR = jax.ops.segment_sum(
+                g_r, cols_sorted, num_segments=i_blk, indices_are_sorted=True
+            )
+            dL = jax.lax.psum(dL, AXIS_ITEMS)
+            dR = jax.lax.psum(dR, AXIS_USERS)
+            return L + dL, R + dR
+
+        return jax.lax.fori_loop(0, iters, body, (L, R))
+
+    sharded = shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_USERS, None),
+            P(AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+            P(AXIS_USERS, AXIS_ITEMS, None),
+        ),
+        out_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_sharded_top1(mesh, i_blk: int):
+    """Jitted sharded top-1: (L, R, rated_mask) -> int32[users_pad].
+
+    Per-shard masked argmax over the local item block, then the
+    cross-shard (value, lowest-global-index) reduction via ordered
+    all_gather along 'i'.
+    """
+
+    def local(L, R, mask):
+        b = L @ R.T  # (u_blk, i_blk) on this shard
+        b = jnp.where(mask, -jnp.inf, b)
+        val = jnp.max(b, axis=1)
+        # First maximum within the block = lowest local index.
+        idx = jnp.argmax(b, axis=1).astype(jnp.int32)
+        my_i = jax.lax.axis_index(AXIS_ITEMS)
+        gidx = idx + my_i * i_blk
+        vals_g = jax.lax.all_gather(val, AXIS_ITEMS)  # (pi, u_blk), ascending blocks
+        idxs_g = jax.lax.all_gather(gidx, AXIS_ITEMS)
+        # First max across ascending contiguous blocks = lowest global index.
+        win = jnp.argmax(vals_g, axis=0)
+        top = jnp.take_along_axis(idxs_g, win[None, :], axis=0)[0]
+        return top
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None), P(AXIS_USERS, AXIS_ITEMS)),
+        out_specs=P(AXIS_USERS),
+        # The result is replicated along 'i' by construction (identical
+        # all_gather + argmax on every shard); the static checker can't
+        # prove that through axis_index, so opt out.
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,91 @@
+"""Sharded engine on the virtual 8-device CPU mesh vs single-chip results.
+
+The key property: results are independent of mesh shape — the factors
+are generated in the serial RNG order and the sharded math is the same
+full-batch GD, so any mesh must reproduce the single-device engine
+(and hence the oracle and goldens) up to reduction rounding.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from recsys_tpu.config import RunConfig
+from recsys_tpu.engine import trainer
+from recsys_tpu.io.parser import load_problem
+from recsys_tpu.io.writers import format_recommendations
+from recsys_tpu.parallel import engine as par
+from recsys_tpu.parallel.mesh import balanced_grid, make_mesh
+
+from helpers import FIXTURES, read_golden
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _spec(inst, iters=None):
+    spec = load_problem(FIXTURES / f"{inst}.in")
+    return spec if iters is None else dataclasses.replace(spec, iters=iters)
+
+
+def test_balanced_grid():
+    # square matrix -> square-ish grid
+    assert balanced_grid(8, 1000, 1000) in [(2, 4), (4, 2)]
+    # extreme aspect ratio degrades to 1-D (the reference's reshaping goal)
+    assert balanced_grid(8, 1000, 1_000_000) == (1, 8)
+    assert balanced_grid(8, 1_000_000, 100) == (8, 1)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+@pytest.mark.parametrize("path", ["dense", "coo"])
+def test_sharded_matches_single_chip(shape, path):
+    """30x40 instance, 50 iters, f64: every mesh shape reproduces the
+    single-device engine (padding: 30 and 40 are not multiples of 8)."""
+    spec = _spec("inst30-40-10-2-10", 50)
+    want = trainer.factorize(spec, RunConfig(dtype="float64", path=path))
+    mesh = make_mesh(spec.users, spec.items, shape=shape)
+    got, _ = par.factorize_sharded(
+        spec, RunConfig(dtype="float64", path=path), mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.L)[: spec.users], np.asarray(want.L), rtol=1e-11, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.R)[: spec.items], np.asarray(want.R), rtol=1e-11, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("inst", ["inst0", "inst30-40-10-2-10"])
+def test_sharded_golden_end_to_end(inst):
+    """Full end-to-end sharded run matches the golden .out (f64, 2x4 mesh)."""
+    spec = _spec(inst)
+    out, _ = par.run(spec, RunConfig(dtype="float64", mesh_shape=(2, 4)))
+    assert out == read_golden(inst)
+
+
+def test_sharded_top1_tie_break_across_shards():
+    """All-equal predictions: every user must get item 0 (lowest index),
+    exercising the cross-shard argmax reduction."""
+    spec = _spec("inst30-40-10-2-10")
+    mesh = make_mesh(spec.users, spec.items, shape=(1, 8))
+    from recsys_tpu.models.mf import MFState
+    from recsys_tpu.parallel.sharding import pad_factors
+
+    L = np.ones((spec.users, spec.features), np.float32)
+    R = np.ones((spec.items, spec.features), np.float32)
+    Lp, Rp = pad_factors(L, R, 1, 8)
+    spec_unrated = dataclasses.replace(
+        spec,
+        rows=np.zeros(0, np.int32),
+        cols=np.zeros(0, np.int32),
+        vals=np.zeros(0, np.float64),
+    )
+    top1 = par.recommend_sharded(MFState(L=Lp, R=Rp), spec_unrated, mesh)
+    np.testing.assert_array_equal(top1, np.zeros(spec.users, np.int32))
+
+
+def test_dryrun_multichip_hook():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
