@@ -49,6 +49,10 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
 
+    from recsys_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from recsys_tpu.config import RunConfig
     from recsys_tpu.io.parser import load_problem
 

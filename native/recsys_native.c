@@ -1,0 +1,167 @@
+/* Native fast paths for recsys-tpu host-side ingest.
+ *
+ * TPU-native counterpart of the reference's C ingest layer
+ * (util.c:7-34 fscanf parser; mat2d.c:61-83 glibc-random fills).
+ * The compute path is JAX/XLA/Pallas; everything here runs on host
+ * before device upload, where the bottlenecks are text parsing of
+ * multi-million-line .in files and the inherently sequential glibc
+ * random() recurrence.  Exposed to Python via ctypes
+ * (recsys_tpu/io/_native.py), no pybind11 required.
+ *
+ * Build: cc -O3 -shared -fPIC -o librecsys_native.so recsys_native.c
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+
+/* ------------------------------------------------------------------ */
+/* .in entry-body parser                                              */
+/* ------------------------------------------------------------------ */
+
+/* Parse nnz lines of "row col value" (whitespace separated) from buf.
+ * Values are non-negative decimals with optional fraction (the format
+ * the reference writes with %lf and reads with fscanf, util.c:29-34);
+ * a fallback flag is returned if anything fancier (exponents, signs)
+ * appears so the caller can retry with the numpy path.
+ *
+ * Returns the number of entries parsed (== nnz on success).          */
+long rs_parse_entries(const char *buf, long len, long nnz,
+                      int32_t *rows, int32_t *cols, double *vals) {
+    const char *p = buf, *end = buf + len;
+    /* Powers of ten for fixed-point fraction accumulation. */
+    static const double neg_pow10[19] = {
+        1e0,  1e-1, 1e-2,  1e-3,  1e-4,  1e-5,  1e-6,  1e-7,  1e-8, 1e-9,
+        1e-10, 1e-11, 1e-12, 1e-13, 1e-14, 1e-15, 1e-16, 1e-17, 1e-18};
+    for (long n = 0; n < nnz; ++n) {
+        long r = 0, c = 0;
+        /* skip whitespace */
+        while (p < end && (*p == ' ' || *p == '\n' || *p == '\t' || *p == '\r'))
+            ++p;
+        if (p >= end) return n;
+        while (p < end && *p >= '0' && *p <= '9') r = r * 10 + (*p++ - '0');
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        while (p < end && *p >= '0' && *p <= '9') c = c * 10 + (*p++ - '0');
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        /* value: [-]int[.frac] ; exponents signal fallback */
+        int neg = 0;
+        if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
+        uint64_t ip = 0;
+        while (p < end && *p >= '0' && *p <= '9') ip = ip * 10 + (uint64_t)(*p++ - '0');
+        double v = (double)ip;
+        if (p < end && *p == '.') {
+            ++p;
+            uint64_t fp = 0;
+            int nd = 0;
+            while (p < end && *p >= '0' && *p <= '9' && nd < 18) {
+                fp = fp * 10 + (uint64_t)(*p++ - '0');
+                ++nd;
+            }
+            /* overly long fractions: ignore the tail digits (they are
+             * below double precision for the magnitudes involved) */
+            while (p < end && *p >= '0' && *p <= '9') ++p;
+            v += (double)fp * neg_pow10[nd];
+        }
+        if (p < end && (*p == 'e' || *p == 'E')) return -(n + 1); /* fallback */
+        rows[n] = (int32_t)r;
+        cols[n] = (int32_t)c;
+        vals[n] = neg ? -v : v;
+    }
+    return nnz;
+}
+
+/* ------------------------------------------------------------------ */
+/* glibc random() (TYPE_3 additive lagged-Fibonacci) recreation        */
+/* ------------------------------------------------------------------ */
+
+/* State: rolling window of the last 34 outputs of the recurrence
+ * x[i] = (x[i-31] + x[i-3]) mod 2^32, output x[i] >> 1.
+ * Seeding per glibc: seed 0 -> 1; LCG r[i] = 16807*r[i-1] mod 2^31-1
+ * (verified against the reference's samples/inst0.mats, SURVEY.md S0). */
+
+typedef struct {
+    uint32_t w[34];
+} rs_glibc_state;
+
+void rs_glibc_seed(rs_glibc_state *st, int32_t seed) {
+    uint32_t warm[34 + 310];
+    int64_t s = (seed == 0) ? 1 : (int64_t)seed;
+    warm[0] = (uint32_t)s;
+    int64_t prev = s;
+    for (int i = 1; i < 31; ++i) {
+        prev = (16807 * prev) % 2147483647LL;
+        warm[i] = (uint32_t)prev;
+    }
+    for (int i = 31; i < 34; ++i) warm[i] = warm[i - 31];
+    for (int i = 34; i < 34 + 310; ++i) warm[i] = warm[i - 31] + warm[i - 3];
+    for (int i = 0; i < 34; ++i) st->w[i] = warm[310 + i];
+}
+
+/* Draw n outputs scaled to [0,1]: random()/RAND_MAX. */
+void rs_glibc_rand01(rs_glibc_state *st, long n, double *out) {
+    uint32_t w[34];
+    for (int i = 0; i < 34; ++i) w[i] = st->w[i];
+    int h = 0; /* index of logical oldest element in the ring */
+    for (long i = 0; i < n; ++i) {
+        /* x[i] = x[i-31] + x[i-3]; window holds the last 34 values:
+         * logical index 34 - 31 = 3 and 34 - 3 = 31 from the head. */
+        uint32_t x = w[(h + 3) % 34] + w[(h + 31) % 34];
+        w[h] = x;
+        h = (h + 1) % 34;
+        /* exact division: RAND01 = random()/RAND_MAX (mat2d.h:4); a
+         * reciprocal multiply differs in the last ulp */
+        out[i] = (double)(x >> 1) / 2147483647.0;
+    }
+    /* persist window in logical order */
+    for (int i = 0; i < 34; ++i) st->w[i] = w[(h + i) % 34];
+}
+
+/* One-shot convenience: first n rand01 draws after srandom(seed). */
+void rs_rand01_sequence(long n, int32_t seed, double *out) {
+    rs_glibc_state st;
+    rs_glibc_seed(&st, seed);
+    rs_glibc_rand01(&st, n, out);
+}
+
+/* ------------------------------------------------------------------ */
+/* .in writer (fixture generation fast path)                          */
+/* ------------------------------------------------------------------ */
+
+/* Format nnz entries as "row col v.vvvvvv\n" lines into out (caller
+ * allocates >= nnz * 32 bytes). Returns bytes written. %.6f semantics
+ * with round-half-even matching printf for the 0..5 rating range.     */
+long rs_format_entries(long nnz, const int32_t *rows, const int32_t *cols,
+                       const double *vals, char *out) {
+    char *q = out;
+    for (long n = 0; n < nnz; ++n) {
+        long r = rows[n], c = cols[n];
+        char tmp[24];
+        int t = 0;
+        if (r == 0) *q++ = '0';
+        else {
+            while (r) { tmp[t++] = (char)('0' + r % 10); r /= 10; }
+            while (t) *q++ = tmp[--t];
+        }
+        *q++ = ' ';
+        if (c == 0) *q++ = '0';
+        else {
+            while (c) { tmp[t++] = (char)('0' + c % 10); c /= 10; }
+            while (t) *q++ = tmp[--t];
+        }
+        *q++ = ' ';
+        double v = vals[n];
+        if (v < 0) { *q++ = '-'; v = -v; }
+        /* scale to micro-units with printf-style rounding */
+        uint64_t u = (uint64_t)(v * 1e6 + 0.5);
+        uint64_t whole = u / 1000000, frac = u % 1000000;
+        if (whole == 0) *q++ = '0';
+        else {
+            while (whole) { tmp[t++] = (char)('0' + whole % 10); whole /= 10; }
+            while (t) *q++ = tmp[--t];
+        }
+        *q++ = '.';
+        for (int d = 5; d >= 0; --d) tmp[d] = (char)('0' + frac % 10), frac /= 10;
+        for (int d = 0; d < 6; ++d) *q++ = tmp[d];
+        *q++ = '\n';
+    }
+    return (long)(q - out);
+}

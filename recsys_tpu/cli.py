@@ -69,7 +69,10 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     from recsys_tpu.io.parser import load_problem
+    from recsys_tpu.utils.cache import enable_persistent_cache
     from recsys_tpu.utils.timing import Timer
+
+    enable_persistent_cache()
 
     if args.cmd == "oracle":
         from recsys_tpu.engine.oracle import run_oracle

@@ -22,6 +22,7 @@ import numpy as np
 
 from recsys_tpu.config import ProblemSpec, RunConfig
 from recsys_tpu.models.mf import MFState, init_factors
+from recsys_tpu.ops import pallas_dense
 from recsys_tpu.ops.coo import CooData, coo_gd_step, make_coo_inputs
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
 from recsys_tpu.ops.topk import make_mask_blocks, pad_items, top1_blocked
@@ -34,7 +35,17 @@ def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
     if cfg.path != "auto":
         return cfg.path
     itemsize = jnp.dtype(cfg.dtype).itemsize
-    return "dense" if 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES else "coo"
+    dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES
+    # The fused Pallas kernels are the fastest dense path on TPU; they
+    # need f32 compute and a recoverable mask (all ratings non-zero).
+    if (
+        dense_fits
+        and cfg.dtype in ("float32", "bfloat16")
+        and jax.default_backend() == "tpu"
+        and pallas_dense.mask_is_implicit(spec)
+    ):
+        return "pallas"
+    return "dense" if dense_fits else "coo"
 
 
 @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
@@ -78,6 +89,13 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
 
     path = choose_path(spec, cfg)
+    if path == "pallas":
+        if not pallas_dense.mask_is_implicit(spec):
+            raise ValueError("pallas path requires all ratings non-zero (implicit mask)")
+        # dtype bfloat16 selects single-pass-bf16 MXU matmuls (storage
+        # and accumulation stay f32); float32 selects true-f32 passes.
+        precision = "default" if cfg.dtype == "bfloat16" else "highest"
+        return _factorize_pallas(spec, state, precision=precision)
     if path == "dense":
         A, M = make_dense_inputs(spec, dtype=dt)
         L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
@@ -87,6 +105,34 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     else:
         raise ValueError(f"unknown path {path!r}")
     return MFState(L=L, R=R)
+
+
+def _factorize_pallas(spec: ProblemSpec, state: MFState | None, precision: str = "highest") -> MFState:
+    """Fused-kernel f32 path: VMEM-resident loop when the problem fits,
+    two-pass tiled iteration otherwise. Returns factors at true shapes."""
+    strip = 512 if spec.items * 8 > 4096 else 128
+    alpha2 = 2.0 * spec.alpha
+    if pallas_dense.resident_fits(spec, strip=strip):
+        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=strip)
+        if state is not None:
+            L[: spec.users, : spec.features] = state.L
+            R[: spec.items, : spec.features] = state.R
+        Lp, Rp = pallas_dense.resident_train(
+            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+            iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
+        )
+    else:
+        bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
+        bi = 1024 if spec.items >= 1024 else 128
+        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=bi, u_mult=bu)
+        if state is not None:
+            L[: spec.users, : spec.features] = state.L
+            R[: spec.items, : spec.features] = state.R
+        Lp, Rp = pallas_dense.tiled_train(
+            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A), jnp.float32(alpha2),
+            iters=spec.iters, bu=bu, bi=bi, precision=precision,
+        )
+    return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
 
 
 def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> np.ndarray:

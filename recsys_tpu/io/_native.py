@@ -1,0 +1,173 @@
+"""ctypes loader for the native host-ingest library (native/recsys_native.c).
+
+Compiles the shared library on first use if a C compiler is available
+and caches it next to the source; every entry point degrades to the
+numpy implementation when the toolchain or the build is missing, so the
+package never hard-depends on a compiler at runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "recsys_native.c")
+_SO = os.path.join(os.path.dirname(_SRC), "librecsys_native.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def _load():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                if not _build():
+                    _failed = True
+                    return None
+            lib = ctypes.CDLL(_SO)
+            lib.rs_parse_entries.restype = ctypes.c_long
+            lib.rs_parse_entries.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.rs_rand01_sequence.restype = None
+            lib.rs_rand01_sequence.argtypes = [ctypes.c_long, ctypes.c_int32, ctypes.c_void_p]
+            lib.rs_format_entries.restype = ctypes.c_long
+            lib.rs_format_entries.argtypes = [
+                ctypes.c_long,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_entries(body: bytes, nnz: int):
+    """Parse nnz 'row col value' lines; None on unavailable/fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.empty(nnz, dtype=np.int32)
+    cols = np.empty(nnz, dtype=np.int32)
+    vals = np.empty(nnz, dtype=np.float64)
+    got = lib.rs_parse_entries(
+        body,
+        len(body),
+        nnz,
+        rows.ctypes.data,
+        cols.ctypes.data,
+        vals.ctypes.data,
+    )
+    if got != nnz:  # truncated (>=0) or exotic-float fallback (<0)
+        return None
+    return rows, cols, vals
+
+
+def load_problem(path: str):
+    """Full native-path load of a .in file; None to fall back."""
+    lib = _load()
+    if lib is None:
+        return None
+    from recsys_tpu.config import ProblemSpec
+    from recsys_tpu.io.parser import ParseError
+
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    fields = []
+    for _ in range(4):
+        nl = data.find(b"\n", off)
+        if nl < 0:
+            raise ParseError("truncated header")
+        fields.append(data[off:nl])
+        off = nl + 1
+    try:
+        iters = int(fields[0])
+        alpha = float(fields[1])
+        features = int(fields[2])
+        users, items, nnz = (int(t) for t in fields[3].split())
+    except Exception as e:  # noqa: BLE001
+        raise ParseError(f"malformed header: {e}") from e
+    if min(iters, features, users, items) <= 0 or nnz < 0:
+        raise ParseError("non-positive dimension in header")
+    parsed = parse_entries(data[off:], nnz)
+    if parsed is None:
+        return None
+    rows, cols, vals = parsed
+    if rows.size and (
+        rows.max() >= users or cols.max() >= items or rows.min() < 0 or cols.min() < 0
+    ):
+        raise ParseError("entry index out of range")
+    return ProblemSpec(
+        iters=iters,
+        alpha=alpha,
+        features=features,
+        users=users,
+        items=items,
+        rows=rows,
+        cols=cols,
+        vals=vals,
+    )
+
+
+def rand01(n: int, seed: int):
+    """First n glibc RAND01 draws after srandom(seed); None to fall back."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.float64)
+    lib.rs_rand01_sequence(n, seed, out.ctypes.data)
+    return out
+
+
+def format_entries(rows, cols, vals) -> bytes | None:
+    """'row col v.vvvvvv\\n' lines for the .in writer; None to fall back."""
+    lib = _load()
+    if lib is None:
+        return None
+    nnz = len(rows)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    buf = ctypes.create_string_buffer(nnz * 32 + 16)
+    n = lib.rs_format_entries(
+        nnz, rows.ctypes.data, cols.ctypes.data, vals.ctypes.data, buf
+    )
+    return buf.raw[:n]

@@ -106,9 +106,19 @@ def _native_load(path: str):
 
 def save_problem(spec: ProblemSpec, path: str) -> None:
     """Write a ProblemSpec back out in the ``.in`` format (fixture tooling)."""
+    body = None
+    try:
+        from recsys_tpu.io import _native
+
+        body = _native.format_entries(spec.rows, spec.cols, spec.vals)
+    except Exception:
+        body = None
     with open(path, "w") as f:
         f.write(f"{spec.iters}\n{spec.alpha}\n{spec.features}\n")
         f.write(f"{spec.users} {spec.items} {spec.nnz}\n")
+        if body is not None:
+            f.write(body.decode())
+            return
         buf = _io.StringIO()
         for r, c, v in zip(spec.rows, spec.cols, spec.vals):
             buf.write(f"{int(r)} {int(c)} {v:.6f}\n")

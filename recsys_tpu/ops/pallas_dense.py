@@ -1,0 +1,282 @@
+"""Pallas TPU kernels for the dense full-batch GD update.
+
+Two kernels replace the XLA dense path's per-iteration HBM round-trips
+(XLA materializes the masked error E = M ⊙ (A − L·Rᵀ) between its three
+matmuls; reference hot loop: ``matFact.c:41-53``):
+
+* **resident**: for instances whose dense A fits in VMEM (~12 MB — e.g.
+  instML100k at 944×1792 f32 is 6.8 MB), the ENTIRE training loop runs
+  inside one kernel. A stays VMEM-resident across all iterations; L and
+  R are updated in place (input/output aliased); the only HBM traffic
+  of the whole run is the initial fill and final drain. The error tile
+  is computed strip-by-strip on the MXU and immediately consumed by the
+  two gradient matmuls, so it never exists outside VMEM.
+
+* **tiled**: one GD iteration for arbitrary sizes, two passes over A's
+  (row-block × col-block) tiles. Pass 1 accumulates ΔL (grid rows outer,
+  cols inner — the output block stays in VMEM across the inner
+  reduction); pass 2 is the mirror for ΔR. E tiles are recomputed in
+  pass 2 — one extra matmul per tile buys never writing the users×items
+  error matrix to HBM.
+
+Both use the *implicit mask*: the input format's entries are non-zero
+ratings (the reference's own entry type is ``non_zero_entry``,
+``datatypes.h:10``), so M ≡ (A ≠ 0) and the mask matrix is never built.
+Zero padding (users→sublane, items→lane, k→128 multiples) is then
+self-masking: padded cells read A = 0 ⇒ masked ⇒ zero gradient.
+The engine verifies ``vals ≠ 0`` before selecting these kernels.
+
+Gradient math (stable-snapshot semantics of ``matFact.c:38-39``)::
+
+    E  = (A ≠ 0) ⊙ (A − L·Rᵀ)
+    L' = L + 2α · E·R
+    R' = R + 2α · Eᵀ·L     (reading the old L)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _interpret(flag: bool | None) -> bool:
+    """Mosaic needs real TPU hardware; anywhere else run interpreted
+    (the CPU test mesh exercises the same kernel logic)."""
+    if flag is not None:
+        return flag
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------
+# Whole-loop VMEM-resident kernel
+# ---------------------------------------------------------------------
+
+
+def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *, iters, alpha2, strip, precision):
+    U, K = L_ref.shape
+    I = R_ref.shape[0]
+    n_strips = I // strip
+
+    Lout_ref[:] = L_ref[:]
+    Rout_ref[:] = R_ref[:]
+
+    def do_strip(s):
+        off = s * strip  # static: the strip loop is unrolled
+        a = A_ref[:, off : off + strip]  # (U, strip)
+        r = Rout_ref[off : off + strip, :]  # (strip, K)
+        # E strip: masked error on the MXU. (A != 0) is the mask.
+        pred = jax.lax.dot_general(
+            Lout_ref[:], r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        e = jnp.where(a != 0.0, a - pred, 0.0)
+        dL_ref[:] += jnp.dot(e, r, preferred_element_type=jnp.float32, precision=precision)
+        dR_ref[off : off + strip, :] = jax.lax.dot_general(
+            e, Lout_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    def iter_body(_, carry):
+        dL_ref[:] = jnp.zeros_like(dL_ref)
+        for s in range(n_strips):  # static unroll: lets Mosaic pipeline strips
+            do_strip(s)
+        Lout_ref[:] = Lout_ref[:] + alpha2 * dL_ref[:]
+        Rout_ref[:] = Rout_ref[:] + alpha2 * dR_ref[:]
+        return carry
+
+    jax.lax.fori_loop(0, iters, iter_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision"))
+def resident_train(L, R, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
+    """Full training loop in one VMEM-resident kernel.
+
+    L: (U, K), R: (I, K), A: (U, I); U mult of 8, K mult of 128, I mult
+    of ``strip`` (itself a mult of 128); all float32, zero-padded.
+    ``precision``: MXU pass count for the f32 matmuls — "highest" is
+    true-f32 accuracy (6 bf16 passes), "default" is single-pass bf16.
+    Returns (L', R') after ``iters`` full-batch GD steps.
+    """
+    U, K = L.shape
+    I = R.shape[0]
+    assert A.shape == (U, I) and I % strip == 0 and K % 128 == 0 and U % 8 == 0
+    kernel = functools.partial(
+        _resident_kernel, iters=iters, alpha2=alpha2, strip=strip, precision=precision
+    )
+    flops = 3 * 2 * U * I * K * iters
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((U, K), jnp.float32),
+            jax.ShapeDtypeStruct((I, K), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((U, K), jnp.float32),  # dL accumulator
+            pltpu.VMEM((I, K), jnp.float32),  # dR accumulator
+        ],
+        # L and R update in place: the factor tables live in one VMEM
+        # buffer each for the whole run.
+        input_output_aliases={1: 0, 2: 1},
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
+        interpret=_interpret(interpret),
+    )(A, L, R)
+
+
+# ---------------------------------------------------------------------
+# Tiled two-pass kernel (one GD iteration, any size)
+# ---------------------------------------------------------------------
+
+
+def _dl_kernel(A_ref, L_ref, R_ref, dL_ref, *, precision):
+    """Grid (u_tiles, i_tiles): accumulate ΔL[u] over item tiles."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dL_ref[:] = jnp.zeros_like(dL_ref)
+
+    pred = jax.lax.dot_general(
+        L_ref[:], R_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    e = jnp.where(A_ref[:] != 0.0, A_ref[:] - pred, 0.0)
+    dL_ref[:] += jnp.dot(e, R_ref[:], preferred_element_type=jnp.float32, precision=precision)
+
+
+def _dr_kernel(A_ref, L_ref, R_ref, dR_ref, *, precision):
+    """Grid (i_tiles, u_tiles): accumulate ΔR[i] over user tiles."""
+    u = pl.program_id(1)
+
+    @pl.when(u == 0)
+    def _():
+        dR_ref[:] = jnp.zeros_like(dR_ref)
+
+    pred = jax.lax.dot_general(
+        L_ref[:], R_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    e = jnp.where(A_ref[:] != 0.0, A_ref[:] - pred, 0.0)
+    dR_ref[:] += jax.lax.dot_general(
+        e, L_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bu", "bi", "interpret", "precision"))
+def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
+    """One GD step for instances too large for the resident kernel.
+
+    L: (U, K), R: (I, K), A: (U, I); U mult of bu, I mult of bi, K mult
+    of 128, float32 zero-padded. Returns (L', R').
+    """
+    U, K = L.shape
+    I = R.shape[0]
+    nu, ni = U // bu, I // bi
+
+    dL = pl.pallas_call(
+        functools.partial(_dl_kernel, precision=precision),
+        grid=(nu, ni),
+        in_specs=[
+            pl.BlockSpec((bu, bi), lambda u, i: (u, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, K), lambda u, i: (u, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bi, K), lambda u, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bu, K), lambda u, i: (u, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((U, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * U * I * K, bytes_accessed=U * I * 4, transcendentals=0
+        ),
+        interpret=_interpret(interpret),
+    )(A, L, R)
+
+    dR = pl.pallas_call(
+        functools.partial(_dr_kernel, precision=precision),
+        grid=(ni, nu),
+        in_specs=[
+            pl.BlockSpec((bu, bi), lambda i, u: (u, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, K), lambda i, u: (u, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bi, K), lambda i, u: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, K), lambda i, u: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * U * I * K, bytes_accessed=U * I * 4, transcendentals=0
+        ),
+        interpret=_interpret(interpret),
+    )(A, L, R)
+
+    return L + alpha2 * dL, R + alpha2 * dR
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "bu", "bi", "interpret", "precision"))
+def tiled_train(L, R, A, alpha2, *, iters: int, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
+    """Full training loop over the tiled kernels — one XLA program whose
+    fori_loop body is the two-pass Pallas iteration."""
+
+    def body(_, c):
+        return tiled_gd_step(c[0], c[1], A, alpha2, bu=bu, bi=bi, interpret=interpret, precision=precision)
+
+    return jax.lax.fori_loop(0, iters, body, (L, R))
+
+
+# ---------------------------------------------------------------------
+# Host-side padding / dispatch helpers
+# ---------------------------------------------------------------------
+
+RESIDENT_VMEM_BUDGET = 12 << 20  # A + scratch must fit in ~16 MB VMEM
+
+
+def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
+    """Zero-padded (L0, R0, A, dims) for the Pallas kernels, float32.
+
+    Returns (L, R, A, (U, I, K)) with U mult ``u_mult``, I mult
+    ``strip``, K mult 128. Padding is self-masking (A = 0 there).
+    """
+    import numpy as np
+
+    from recsys_tpu.models.mf import init_factors
+
+    U = _round_up(spec.users, u_mult)
+    I = _round_up(spec.items, strip)
+    K = _round_up(spec.features, 128)
+    state = init_factors(spec.users, spec.items, spec.features)
+    L = np.zeros((U, K), np.float32)
+    L[: spec.users, : spec.features] = state.L
+    R = np.zeros((I, K), np.float32)
+    R[: spec.items, : spec.features] = state.R
+    A = np.zeros((U, I), np.float32)
+    A[spec.rows, spec.cols] = spec.vals
+    return L, R, A, (U, I, K)
+
+
+def resident_fits(spec, strip: int = 512) -> bool:
+    """Does the whole problem (A + factors + accumulators) fit in VMEM?"""
+    U = _round_up(spec.users, 8)
+    I = _round_up(spec.items, strip)
+    K = _round_up(spec.features, 128)
+    need = 4 * (U * I + 2 * U * K + 2 * I * K + U * strip)
+    return need <= RESIDENT_VMEM_BUDGET
+
+
+def mask_is_implicit(spec) -> bool:
+    """True when every rating is non-zero, so (A != 0) recovers the mask."""
+    import numpy as np
+
+    return bool(np.all(spec.vals != 0.0))
