@@ -61,8 +61,12 @@ def main():
     glines = golden.splitlines()
 
     wall64, out64 = timed_run(spec, RunConfig(dtype="float64"))
+    # float32 on TPU auto-selects the fused Pallas path (VMEM-resident
+    # whole-loop kernel); bfloat16 runs it with single-pass MXU matmuls.
     wall32, out32 = timed_run(spec, RunConfig(dtype="float32"))
     agree32 = sum(x == y for x, y in zip(out32.splitlines(), glines)) / len(glines)
+    wall16, out16 = timed_run(spec, RunConfig(dtype="bfloat16"))
+    agree16 = sum(x == y for x, y in zip(out16.splitlines(), glines)) / len(glines)
 
     print(
         json.dumps(
@@ -75,8 +79,12 @@ def main():
                 "wall_f32_s": round(wall32, 4),
                 "vs_baseline_f32": round(BASELINE_SERIAL_S / wall32, 2),
                 "argmax_agreement_f32": round(agree32, 4),
+                "wall_bf16_s": round(wall16, 4),
+                "vs_baseline_bf16": round(BASELINE_SERIAL_S / wall16, 2),
+                "argmax_agreement_bf16": round(agree16, 4),
                 "vs_best_published_f64": round(BASELINE_BEST_S / wall64, 2),
                 "updates_per_s_f64": round(spec.iters * spec.nnz / wall64),
+                "updates_per_s_f32": round(spec.iters * spec.nnz / wall32),
                 "backend": jax.default_backend(),
             }
         )

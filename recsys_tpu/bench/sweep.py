@@ -1,0 +1,198 @@
+"""Benchmark sweep over the golden instances.
+
+Successor of the reference's ``run-samples.sh`` (builds serial + both
+OMP flavors, runs every ``samples/*.in`` at 1..16 threads and greps the
+``time :`` line). Here one chip replaces the thread sweep; each instance
+runs in the fastest conformant mode (auto-picked path) and optionally in
+exact-f64 mode, and the result is compared against the reference's
+published numbers (report-omp.pdf Table 2 / report-mpi.pdf Tables 1-3 —
+transcribed in SURVEY.md §6).
+
+One process sweeps ONE dtype (x64 mode is a process-global switch that
+changes every compiled program, so f64 runs live in their own process);
+rows accumulate in a JSONL file and --render merges them into the
+markdown table.
+
+Usage:
+    python -m recsys_tpu.bench.sweep --dtype float32 --jsonl results.jsonl
+        [--instances inst0,instML100k,...] [--repeats N]
+    python -m recsys_tpu.bench.sweep --render results.jsonl --out BENCHMARKS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Published reference timings, seconds (SURVEY.md §6; report-omp.pdf
+# Table 2 serial / best over all published parallel configs incl. MPI
+# and hybrid). None = not published.
+REFERENCE_S = {
+    "inst0": (0.001, 0.001),
+    "inst1": (0.063, 0.063),
+    "inst2": (0.060, 0.060),
+    "inst30-40-10-2-10": (0.421, 0.224),
+    "inst1000-1000-100-2-30": (18.123, 2.922),
+    "inst200-10000-50-100-300": (24.711, 3.043),
+    "inst400-50000-30-200-500": (35.813, 3.38),
+    "inst50000-5000-100-2-5": (156.984, 25.208),
+    "inst500-500-20-2-100": (57.798, 6.46),
+    "inst600-10000-10-40-400": (83.490, 11.717),
+    "instML100k": (104.930, 13.922),
+    "instML1M": (125.201, 8.60),
+}
+
+DEFAULT_INSTANCES = [
+    "inst0",
+    "inst1",
+    "inst2",
+    "inst30-40-10-2-10",
+    "inst500-500-20-2-100",
+    "inst1000-1000-100-2-30",
+    "inst200-10000-50-100-300",
+    "inst600-10000-10-40-400",
+    "inst400-50000-30-200-500",
+    "instML100k",
+    "inst50000-5000-100-2-5",
+]
+
+# f64 exact mode only where the software-emulated f64 matmuls stay sane.
+F64_CELL_LIMIT = 4_000_000  # users*items
+
+
+def _fixture_dir() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "tests", "fixtures")
+
+
+def run_instance(name: str, dtype: str, repeats: int):
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.io.parser import load_problem
+
+    path = os.path.join(_fixture_dir(), f"{name}.in")
+    spec = load_problem(path)
+    cfg = RunConfig(dtype=dtype)
+    out, _ = trainer.run(spec, cfg)  # warm-up compiles
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out, _ = trainer.run(spec, cfg)
+        walls.append(time.perf_counter() - t0)
+    golden_path = os.path.join(_fixture_dir(), f"{name}.out")
+    agree = None
+    exact = None
+    if os.path.exists(golden_path) and os.path.getsize(golden_path):
+        golden = open(golden_path).read()
+        glines = golden.splitlines()
+        olines = out.splitlines()
+        agree = sum(x == y for x, y in zip(olines, glines)) / max(len(glines), 1)
+        exact = out == golden
+    wall = min(walls)
+    return {
+        "instance": name,
+        "dtype": dtype,
+        "path": trainer.choose_path(spec, cfg),
+        "wall_s": round(wall, 4),
+        "updates_per_s": round(spec.iters * spec.nnz / wall),
+        "iters": spec.iters,
+        "nnz": spec.nnz,
+        "users": spec.users,
+        "items": spec.items,
+        "k": spec.features,
+        "golden_exact": exact,
+        "agreement": None if agree is None else round(agree, 4),
+    }
+
+
+def format_markdown(rows: list[dict]) -> str:
+    lines = [
+        "# recsys-tpu benchmark sweep (1 TPU chip)",
+        "",
+        "Reference numbers: report-omp.pdf Table 2 (serial, 1 Ryzen 1700X core) and the",
+        "best published parallel config across all reference tables (SURVEY.md §6).",
+        "",
+        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ref = REFERENCE_S.get(r["instance"])
+        vs_serial = f"{ref[0] / r['wall_s']:.1f}x" if ref else "-"
+        vs_best = f"{ref[1] / r['wall_s']:.1f}x" if ref else "-"
+        if r["golden_exact"]:
+            gold = "exact"
+        elif r["agreement"] is not None:
+            gold = f"{100 * r['agreement']:.2f}%"
+        else:
+            gold = "-"
+        lines.append(
+            f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
+            f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} |"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="recsys-tpu-sweep")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
+    ap.add_argument("--out", default=None, help="write a markdown table here")
+    ap.add_argument("--jsonl", default=None, help="append JSONL rows here")
+    ap.add_argument("--instances", default=None, help="comma-separated subset")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--render", default=None, help="render this JSONL to --out and exit")
+    args = ap.parse_args(argv)
+
+    if args.render:
+        rows = [json.loads(l) for l in open(args.render) if l.strip()]
+        md = format_markdown(rows)
+        if args.out:
+            open(args.out, "w").write(md)
+        else:
+            print(md)
+        return 0
+
+    from recsys_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    names = args.instances.split(",") if args.instances else DEFAULT_INSTANCES
+    if args.dtype == "float64":
+        names = [n for n in names if _dims(n)[0] * _dims(n)[1] <= F64_CELL_LIMIT]
+    rows = []
+    for name in names:
+        if not os.path.exists(os.path.join(_fixture_dir(), f"{name}.in")):
+            print(f"skip {name}: no .in fixture", file=sys.stderr)
+            continue
+        try:
+            r = run_instance(name, args.dtype, args.repeats)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name} {args.dtype}: {e}", file=sys.stderr)
+            continue
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+        if args.jsonl:
+            with open(args.jsonl, "a") as f:
+                f.write(json.dumps(r) + "\n")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(format_markdown(rows))
+    return 0
+
+
+def _dims(name: str):
+    from recsys_tpu.io.parser import load_problem
+
+    spec = load_problem(os.path.join(_fixture_dir(), f"{name}.in"))
+    return spec.users, spec.items
+
+
+if __name__ == "__main__":
+    sys.exit(main())

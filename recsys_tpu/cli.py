@@ -24,7 +24,7 @@ import sys
 def _add_common(p):
     p.add_argument("input", help="path to .in instance file")
     p.add_argument("--dtype", default=None, help="float32|float64|bfloat16 (default: f32 on TPU, f64 on CPU)")
-    p.add_argument("--path", default="auto", choices=["auto", "dense", "coo", "pallas"])
+    p.add_argument("--path", default="auto", choices=["auto", "dense", "ell", "coo", "pallas"])
     p.add_argument("--mesh", default=None, help="RxC mesh override, e.g. 4x2 (multi-device)")
     p.add_argument("--block-items", type=int, default=4096)
     p.add_argument("--no-time", action="store_true", help="suppress the trailing time line")

@@ -23,8 +23,16 @@ import numpy as np
 from recsys_tpu.config import ProblemSpec, RunConfig
 from recsys_tpu.models.mf import MFState, init_factors
 from recsys_tpu.ops import pallas_dense
-from recsys_tpu.ops.coo import CooData, coo_gd_step, make_coo_inputs
+from recsys_tpu.ops.coo import (
+    CooData,
+    CooSegData,
+    coo_gd_step,
+    coo_gd_step_cumsum,
+    make_coo_inputs,
+    make_coo_seg_inputs,
+)
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
+from recsys_tpu.ops.ell import EllData, ell_fits, ell_gd_step, ell_slots, make_ell_inputs
 from recsys_tpu.ops.topk import make_mask_blocks, pad_items, top1_blocked
 
 # Dense A + M byte budget before switching to the COO formulation.
@@ -36,22 +44,50 @@ def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
         return cfg.path
     itemsize = jnp.dtype(cfg.dtype).itemsize
     dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES
+    # Work comparison: dense touches users*items cells per iteration,
+    # the sparse paths touch ~nnz (times padding/scatter overheads). For
+    # very sparse instances (inst50000-5000: 0.07% density) sparse does
+    # orders of magnitude less work than any dense formulation; for
+    # dense-ish ones (instML100k: 6.3%) the fused dense kernels win.
+    # Among the sparse formulations, the prefix-sum COO step measures
+    # fastest on TPU (ELL pays ~2x more row-gathers; scatter-add COO
+    # pays the serial scatter rate), so auto picks "coo" and the engine
+    # selects the cumsum variant for speed dtypes internally.
+    if spec.nnz and spec.users * spec.items > 16 * ell_slots(spec):
+        return "coo"
+    if not dense_fits:
+        return "coo"
     # The fused Pallas kernels are the fastest dense path on TPU; they
     # need f32 compute and a recoverable mask (all ratings non-zero).
     if (
-        dense_fits
-        and cfg.dtype in ("float32", "bfloat16")
+        cfg.dtype in ("float32", "bfloat16")
         and jax.default_backend() == "tpu"
         and pallas_dense.mask_is_implicit(spec)
     ):
         return "pallas"
-    return "dense" if dense_fits else "coo"
+    return "dense"
 
 
 @partial(jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
 def _train_dense(L, R, A, M, alpha2, iters):
     def body(_, c):
         return dense_gd_step(c[0], c[1], A, M, alpha2)
+
+    return jax.lax.fori_loop(0, iters, body, (L, R))
+
+
+@partial(jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
+def _train_ell(L, R, data: EllData, alpha2, iters):
+    def body(_, c):
+        return ell_gd_step(c[0], c[1], data, alpha2)
+
+    return jax.lax.fori_loop(0, iters, body, (L, R))
+
+
+@partial(jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
+def _train_coo_cumsum(L, R, data: CooSegData, alpha2, iters):
+    def body(_, c):
+        return coo_gd_step_cumsum(c[0], c[1], data, alpha2)
 
     return jax.lax.fori_loop(0, iters, body, (L, R))
 
@@ -99,9 +135,18 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     if path == "dense":
         A, M = make_dense_inputs(spec, dtype=dt)
         L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
+    elif path == "ell":
+        data = jax.tree.map(jnp.asarray, make_ell_inputs(spec, dtype=dt))
+        L, R = _train_ell(L0, R0, data, alpha2, spec.iters)
     elif path == "coo":
-        data = jax.tree.map(jnp.asarray, make_coo_inputs(spec, dtype=dt))
-        L, R = _train_coo(L0, R0, data, alpha2, spec.iters, spec.users, spec.items)
+        # Speed dtypes trade the scatter-add segment reduction for the
+        # prefix-sum form (exact f64 keeps the cancellation-free scatter).
+        if cfg.dtype in ("float32", "bfloat16") and jax.default_backend() == "tpu":
+            data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
+            L, R = _train_coo_cumsum(L0, R0, data, alpha2, spec.iters)
+        else:
+            data = jax.tree.map(jnp.asarray, make_coo_inputs(spec, dtype=dt))
+            L, R = _train_coo(L0, R0, data, alpha2, spec.iters, spec.users, spec.items)
     else:
         raise ValueError(f"unknown path {path!r}")
     return MFState(L=L, R=R)

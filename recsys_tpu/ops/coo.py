@@ -48,6 +48,72 @@ def make_coo_inputs(spec: ProblemSpec, dtype=jnp.float32) -> CooData:
     )
 
 
+class CooSegData(NamedTuple):
+    """COO arrays in both sort orders + segment boundaries (cumsum path)."""
+
+    rows: jnp.ndarray  # int32[nnz] row-major
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    rows_cs: jnp.ndarray  # int32[nnz] col-major order
+    cols_cs: jnp.ndarray
+    vals_cs: jnp.ndarray
+    row_start: jnp.ndarray  # int32[users+1] entry offsets per row
+    col_start: jnp.ndarray  # int32[items+1] entry offsets per column
+
+
+def make_coo_seg_inputs(spec: ProblemSpec, dtype=np.float32) -> CooSegData:
+    perm = np.lexsort((spec.rows, spec.cols))
+    rc = np.bincount(spec.rows, minlength=spec.users)
+    cc = np.bincount(spec.cols, minlength=spec.items)
+    row_start = np.zeros(spec.users + 1, dtype=np.int32)
+    np.cumsum(rc, out=row_start[1:])
+    col_start = np.zeros(spec.items + 1, dtype=np.int32)
+    np.cumsum(cc, out=col_start[1:])
+    return CooSegData(
+        rows=spec.rows.astype(np.int32),
+        cols=spec.cols.astype(np.int32),
+        vals=spec.vals.astype(dtype),
+        rows_cs=spec.rows[perm].astype(np.int32),
+        cols_cs=spec.cols[perm].astype(np.int32),
+        vals_cs=spec.vals[perm].astype(dtype),
+        row_start=row_start,
+        col_start=col_start,
+    )
+
+
+def coo_gd_step_cumsum(L, R, data: CooSegData, alpha2):
+    """Scatter-free COO step: prefix-sum + boundary-difference reduction.
+
+    On TPU, ``segment_sum`` lowers to scatter-add, which issues rows
+    near-serially (~70 M rows/s measured — the hot spot of the whole
+    sparse path, the TPU incarnation of the reference's write-contention
+    problem, ``matFact-omp.c:85-107``). Entries are segment-sorted on
+    both sides (row-major and col-major copies), so each segment sum
+    equals a difference of two prefix-sum rows::
+
+        S = [0; cumsum(g)]            # (nnz+1, k), dense VPU scan
+        Δ[s] = S[start[s+1]] - S[start[s]]
+
+    which trades the nnz-row scatter for an (n_segments)-row gather.
+    Cost: O(eps·√nnz) cancellation noise in the differences — fine for
+    the f32/bf16 speed modes, not used for exact-f64 conformance.
+    """
+    r = R[data.cols]
+    l = L[data.rows]
+    err = alpha2 * (data.vals - jnp.sum(l * r, axis=-1))
+    g = err[:, None] * r
+    S = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), jnp.cumsum(g, axis=0)])
+    dL = S[data.row_start[1:]] - S[data.row_start[:-1]]
+
+    l2 = L[data.rows_cs]
+    r2 = R[data.cols_cs]
+    err2 = alpha2 * (data.vals_cs - jnp.sum(l2 * r2, axis=-1))
+    g2 = err2[:, None] * l2
+    S2 = jnp.concatenate([jnp.zeros((1, g2.shape[1]), g2.dtype), jnp.cumsum(g2, axis=0)])
+    dR = S2[data.col_start[1:]] - S2[data.col_start[:-1]]
+    return L + dL, R + dR
+
+
 def coo_gd_step(L, R, data: CooData, alpha2, users: int, items: int):
     """One full-batch GD step from COO entries.
 

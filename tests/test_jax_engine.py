@@ -101,3 +101,32 @@ def test_fp32_argmax_agreement(inst, min_agreement):
     assert len(a) == len(b)
     agreement = sum(x == y for x, y in zip(a, b)) / len(b)
     assert agreement >= min_agreement
+
+
+def test_coo_cumsum_step_matches_scatter_step():
+    """The prefix-sum segment reduction equals the scatter form (f64 CPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_tpu.io.generator import generate_instance
+    from recsys_tpu.models.mf import init_factors
+    from recsys_tpu.ops.coo import (
+        coo_gd_step,
+        coo_gd_step_cumsum,
+        make_coo_inputs,
+        make_coo_seg_inputs,
+    )
+
+    spec = generate_instance(40, 70, 6, 1, 8, iters=1, alpha=0.01, seed=21)
+    st = init_factors(spec.users, spec.items, spec.features)
+    L = jnp.asarray(st.L)
+    R = jnp.asarray(st.R)
+    import jax
+
+    d1 = jax.tree.map(jnp.asarray, make_coo_inputs(spec, dtype=np.float64))
+    d2 = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=np.float64))
+    a2 = jnp.float64(2 * spec.alpha)
+    L1, R1 = coo_gd_step(L, R, d1, a2, spec.users, spec.items)
+    L2, R2 = coo_gd_step_cumsum(L, R, d2, a2)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L2), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), rtol=1e-12, atol=1e-13)
