@@ -36,10 +36,20 @@ def main(argv=None):
 
     run_p = sub.add_parser("run", help="factorize + print top-1 recommendations")
     _add_common(run_p)
+    run_p.add_argument("--checkpoint", metavar="PATH", default=None, help="snapshot/resume file")
+    run_p.add_argument("--checkpoint-every", type=int, default=500, metavar="N", help="iterations between snapshots")
+    run_p.add_argument("--profile", metavar="DIR", default=None, help="write a jax profiler trace here")
 
     orc_p = sub.add_parser("oracle", help="numpy float64 reference engine")
     orc_p.add_argument("input")
     orc_p.add_argument("--no-time", action="store_true")
+    orc_p.add_argument(
+        "--dump-mats",
+        metavar="PATH",
+        default=None,
+        help="write the .mats debug dump (initial/per-iter/final L,R,B) and exit",
+    )
+    orc_p.add_argument("--record", type=int, default=5, help="iterations to record in the dump")
 
     bench_p = sub.add_parser("bench", help="timed run, JSON metrics line")
     _add_common(bench_p)
@@ -75,8 +85,13 @@ def main(argv=None):
     enable_persistent_cache()
 
     if args.cmd == "oracle":
-        from recsys_tpu.engine.oracle import run_oracle
+        from recsys_tpu.engine.oracle import dump_mats, run_oracle
 
+        if args.dump_mats:
+            spec = load_problem(args.input)
+            with open(args.dump_mats, "w") as f:
+                f.write(dump_mats(spec, record=args.record))
+            return 0
         with Timer() as t:
             spec = load_problem(args.input)
             out = run_oracle(spec)
@@ -95,9 +110,26 @@ def main(argv=None):
     cfg = RunConfig(dtype=args.dtype, path=args.path, mesh_shape=mesh_shape, block_items=args.block_items)
 
     if args.cmd == "run":
-        with Timer() as t:
+        import contextlib
+
+        prof = contextlib.nullcontext()
+        if args.profile:
+            import jax
+
+            prof = jax.profiler.trace(args.profile)
+        with prof, Timer() as t:
             spec = load_problem(args.input)
-            out, _ = _dispatch_run(spec, cfg)
+            if args.checkpoint:
+                from recsys_tpu.engine import trainer
+                from recsys_tpu.utils.checkpoint import run_with_checkpoints
+
+                state = run_with_checkpoints(spec, cfg, args.checkpoint, args.checkpoint_every)
+                top1 = trainer.recommend(state, spec, cfg)
+                from recsys_tpu.io.writers import format_recommendations
+
+                out = format_recommendations(top1, spec.rated_counts(), spec.items)
+            else:
+                out, _ = _dispatch_run(spec, cfg)
         sys.stdout.write(out)
         if not args.no_time:
             print(t.line())

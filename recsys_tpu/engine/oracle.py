@@ -70,6 +70,39 @@ def top1_numpy(L: np.ndarray, R: np.ndarray, spec: ProblemSpec) -> np.ndarray:
     return np.argmax(B, axis=1).astype(np.int32)
 
 
+def dump_mats(spec: ProblemSpec, record: int = 5) -> str:
+    """Reproduce the reference's debug ``.mats`` dump byte-for-byte.
+
+    Layout (``samples/inst0.mats``, produced by a since-removed debug
+    print mode built on ``mat2d_print``, ``mat2d.c:50-59``): the initial
+    A, L, R, B; then for each of the first ``record`` iterations
+    ``Iter=n`` with L, R, B; then ``Final:`` with the post-training
+    L, R, B. R is printed in its generated (k × items) orientation
+    (``matFact.c:115``), i.e. transposed relative to our storage.
+    """
+    from recsys_tpu.io.writers import format_mats_block as blk
+
+    state = init_factors(spec.users, spec.items, spec.features)
+    A = spec.dense()
+    out = [
+        blk("Initial matrix A", A),
+        blk("Initial matrix L", state.L),
+        blk("Initial matrix R", state.R.T),
+        blk("Initial matrix B", state.L @ state.R.T),
+    ]
+    final, traj = factorize_numpy(spec, state=state, record=min(record, spec.iters))
+    for n, (L, R) in enumerate(traj):
+        out.append(f"Iter={n}\n")
+        out.append(blk("Matrix L", L))
+        out.append(blk("Matrix R", R.T))
+        out.append(blk("Matrix B", L @ R.T))
+    out.append("Final:\n")
+    out.append(blk("Matrix L", np.asarray(final.L)))
+    out.append(blk("Matrix R", np.asarray(final.R).T))
+    out.append(blk("Matrix B", np.asarray(final.L) @ np.asarray(final.R).T))
+    return "".join(out)
+
+
 def run_oracle(spec: ProblemSpec) -> str:
     """End-to-end oracle run producing the stdout payload (no time line)."""
     from recsys_tpu.io.writers import format_recommendations

@@ -21,7 +21,12 @@ from recsys_tpu.config import ProblemSpec, RunConfig
 from recsys_tpu.models.mf import MFState, init_factors
 from recsys_tpu.parallel import sharding as shp
 from recsys_tpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS, make_mesh
-from recsys_tpu.parallel.step import make_coo_train, make_dense_train, make_sharded_top1
+from recsys_tpu.parallel.step import (
+    make_coo_seg_train,
+    make_coo_train,
+    make_dense_train,
+    make_sharded_top1,
+)
 
 DENSE_BUDGET_BYTES = 2 << 30
 
@@ -64,6 +69,13 @@ def factorize_sharded(
         sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
         train = make_dense_train(mesh, alpha2, spec.iters)
         L, R = train(L0, R0, jax.device_put(A, sAM), jax.device_put(M, sAM))
+    elif cfg.dtype in ("float32", "bfloat16"):
+        # Speed dtypes: scatter-free prefix-sum form (see ops/coo.py).
+        shards, u_blk, i_blk = shp.bucket_coo_seg(spec, pu, pi, dtype=dt)
+        sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
+        dev = [jax.device_put(np.asarray(x), sE) for x in shards]
+        train = make_coo_seg_train(mesh, alpha2, spec.iters, u_blk, i_blk)
+        L, R = train(L0, R0, *dev)
     else:
         shards, u_blk, i_blk = shp.bucket_coo(spec, pu, pi, dtype=dt)
         sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))

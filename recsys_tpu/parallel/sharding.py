@@ -102,6 +102,89 @@ def bucket_coo(spec: ProblemSpec, pu: int, pi: int, dtype=np.float32) -> tuple[C
     )
 
 
+class CooSegShards(NamedTuple):
+    """Per-shard dual-sorted COO + segment boundaries for the scatter-free
+    (prefix-sum) sharded step. All entry arrays (pu, pi, cap); boundary
+    arrays (pu, pi, blk+1). Padding entries carry weight 0 and sit at the
+    end of each bucket pointing at the last local row/col, preserving the
+    non-decreasing segment order the cumsum form requires."""
+
+    rows: np.ndarray  # int32, row-major bucket order, local indices
+    cols: np.ndarray
+    vals: np.ndarray
+    w: np.ndarray
+    rows_cs: np.ndarray  # col-major bucket order
+    cols_cs: np.ndarray
+    vals_cs: np.ndarray
+    w_cs: np.ndarray
+    row_start: np.ndarray  # int32 (pu, pi, u_blk+1)
+    col_start: np.ndarray  # int32 (pu, pi, i_blk+1)
+
+
+def bucket_coo_seg(spec: ProblemSpec, pu: int, pi: int, dtype=np.float32) -> tuple[CooSegShards, int, int]:
+    """Bucket entries by owning shard in both sort orders + boundaries."""
+    u_blk = pad_up(spec.users, pu) // pu
+    i_blk = pad_up(spec.items, pi) // pi
+    ou = spec.rows // u_blk
+    oi = spec.cols // i_blk
+    owner = ou * pi + oi
+    nb = pu * pi
+    counts = np.bincount(owner, minlength=nb)
+    cap = max(int(counts.max()), 1)
+    rows_l = (spec.rows - ou * u_blk).astype(np.int32)
+    cols_l = (spec.cols - oi * i_blk).astype(np.int32)
+
+    def bucketize(order_keys, pad_row, pad_col):
+        """order_keys: lexsort keys within the global entry set (owner-major)."""
+        order = np.lexsort(order_keys + (owner,))
+        rows_b = np.full((nb, cap), pad_row, np.int32)
+        cols_b = np.full((nb, cap), pad_col, np.int32)
+        vals_b = np.zeros((nb, cap), dtype)
+        w_b = np.zeros((nb, cap), dtype)
+        off = 0
+        for b in range(nb):
+            c = counts[b]
+            sl = order[off : off + c]
+            rows_b[b, :c] = rows_l[sl]
+            cols_b[b, :c] = cols_l[sl]
+            vals_b[b, :c] = spec.vals[sl]
+            w_b[b, :c] = 1.0
+            off += c
+        return rows_b, cols_b, vals_b, w_b
+
+    # Row-major within bucket (global order is already row-major; stable
+    # owner sort preserves it) and col-major within bucket.
+    rows_r, cols_r, vals_r, w_r = bucketize((spec.cols, spec.rows), u_blk - 1, 0)
+    rows_c, cols_c, vals_c, w_c = bucketize((spec.rows, spec.cols), 0, i_blk - 1)
+
+    row_start = np.zeros((nb, u_blk + 1), np.int32)
+    col_start = np.zeros((nb, i_blk + 1), np.int32)
+    for b in range(nb):
+        c = counts[b]
+        rc = np.bincount(rows_r[b, :c], minlength=u_blk)
+        np.cumsum(rc, out=row_start[b, 1:])
+        cc = np.bincount(cols_c[b, :c], minlength=i_blk)
+        np.cumsum(cc, out=col_start[b, 1:])
+
+    sh3 = (pu, pi, cap)
+    return (
+        CooSegShards(
+            rows=rows_r.reshape(sh3),
+            cols=cols_r.reshape(sh3),
+            vals=vals_r.reshape(sh3),
+            w=w_r.reshape(sh3),
+            rows_cs=rows_c.reshape(sh3),
+            cols_cs=cols_c.reshape(sh3),
+            vals_cs=vals_c.reshape(sh3),
+            w_cs=w_c.reshape(sh3),
+            row_start=row_start.reshape(pu, pi, u_blk + 1),
+            col_start=col_start.reshape(pu, pi, i_blk + 1),
+        ),
+        u_blk,
+        i_blk,
+    )
+
+
 def pad_factors(L: np.ndarray, R: np.ndarray, pu: int, pi: int):
     """Zero-pad factor tables to mesh-axis multiples (zero rows stay zero:
     no entry references them, so their psum'd gradient is identically 0)."""

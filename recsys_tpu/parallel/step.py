@@ -105,6 +105,52 @@ def make_coo_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_coo_seg_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
+    """Jitted sharded scatter-free COO trainer (prefix-sum reduction).
+
+    The sharded analogue of ``coo_gd_step_cumsum``: per-shard segment
+    sums computed as cumsum + boundary differences (no TPU scatter-add),
+    then the two axis psums. Entry buckets come from
+    ``sharding.bucket_coo_seg``; padding entries carry weight 0.
+    """
+
+    def loop(L, R, rows, cols, vals, w, rows_cs, cols_cs, vals_cs, w_cs, row_start, col_start):
+        rows, cols, vals, w = rows[0, 0], cols[0, 0], vals[0, 0], w[0, 0]
+        rows_cs, cols_cs, vals_cs, w_cs = rows_cs[0, 0], cols_cs[0, 0], vals_cs[0, 0], w_cs[0, 0]
+        row_start, col_start = row_start[0, 0], col_start[0, 0]
+
+        def body(_, c):
+            L, R = c
+            l = L[rows]
+            r = R[cols]
+            err = w * alpha2 * (vals - jnp.sum(l * r, axis=-1))
+            g = err[:, None] * r
+            S = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype), jnp.cumsum(g, axis=0)])
+            dL = S[row_start[1:]] - S[row_start[:-1]]
+
+            l2 = L[rows_cs]
+            r2 = R[cols_cs]
+            err2 = w_cs * alpha2 * (vals_cs - jnp.sum(l2 * r2, axis=-1))
+            g2 = err2[:, None] * l2
+            S2 = jnp.concatenate([jnp.zeros((1, g2.shape[1]), g2.dtype), jnp.cumsum(g2, axis=0)])
+            dR = S2[col_start[1:]] - S2[col_start[:-1]]
+
+            dL = jax.lax.psum(dL, AXIS_ITEMS)
+            dR = jax.lax.psum(dR, AXIS_USERS)
+            return L + dL, R + dR
+
+        return jax.lax.fori_loop(0, iters, body, (L, R))
+
+    spec3 = P(AXIS_USERS, AXIS_ITEMS, None)
+    sharded = shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)) + (spec3,) * 10,
+        out_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_sharded_top1(mesh, i_blk: int):
     """Jitted sharded top-1: (L, R, rated_mask) -> int32[users_pad].
 

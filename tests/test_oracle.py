@@ -56,3 +56,38 @@ def test_tie_break_lowest_index():
     top1 = top1_numpy(L, R, spec)
     # user 0 rated items {0, 2} -> lowest unrated is 1; user 2 rated {1,2,3} -> 0
     np.testing.assert_array_equal(top1, [1, 0, 0])
+
+
+def test_dump_mats_byte_exact_inst1_inst2():
+    """The .mats debug dump reproduces the reference's dumps byte-for-byte
+    (inst1/inst2 were dumped with no per-iteration recording)."""
+    from recsys_tpu.engine.oracle import dump_mats
+    from recsys_tpu.io.parser import load_problem
+
+    for name in ("inst1", "inst2"):
+        spec = load_problem(str(FIXTURES / f"{name}.in"))
+        got = dump_mats(spec, record=0)
+        ref = open(FIXTURES / f"{name}.mats").read()
+        assert got == ref
+
+
+def test_dump_mats_inst0_print_ulp():
+    """inst0.mats records 5 iterations then the final state after 5000:
+    all blocks byte-match except <=1-ulp-of-print drift in the final
+    block (f64 summation-order difference vs the scalar reference loop)."""
+    from recsys_tpu.engine.oracle import dump_mats
+    from recsys_tpu.io.parser import load_problem
+
+    spec = load_problem(str(FIXTURES / "inst0.in"))
+    got = dump_mats(spec, record=5).splitlines()
+    ref = open(FIXTURES / "inst0.mats").read().splitlines()
+    assert len(got) == len(ref)
+    n_diff = 0
+    for g, r in zip(got, ref):
+        if g == r:
+            continue
+        gv = [float(x) for x in g.split()]
+        rv = [float(x) for x in r.split()]
+        assert np.allclose(gv, rv, atol=1.5e-6, rtol=0)
+        n_diff += 1
+    assert n_diff <= 3

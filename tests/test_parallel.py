@@ -89,3 +89,19 @@ def test_dryrun_multichip_hook():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
+def test_sharded_coo_cumsum_matches_single_chip(shape):
+    """f32 sharded COO (scatter-free prefix-sum form) vs single-device
+    engine: same full-batch sums up to reduction rounding."""
+    spec = _spec("inst30-40-10-2-10", 50)
+    want = trainer.factorize(spec, RunConfig(dtype="float32", path="dense"))
+    mesh = make_mesh(spec.users, spec.items, shape=shape)
+    got, _ = par.factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got.L)[: spec.users], np.asarray(want.L), rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.R)[: spec.items], np.asarray(want.R), rtol=3e-4, atol=3e-5
+    )
