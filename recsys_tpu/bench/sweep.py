@@ -113,13 +113,25 @@ def format_markdown(rows: list[dict]) -> str:
         "# recsys-tpu benchmark sweep (1 TPU chip)",
         "",
         "Reference numbers: report-omp.pdf Table 2 (serial, 1 Ryzen 1700X core) and the",
-        "best published parallel config across all reference tables (SURVEY.md §6).",
+        "best published parallel config across all reference tables (SURVEY.md §6) —",
+        "including 16-64-rank cluster MPI runs, so 'vs best published' compares one TPU",
+        "chip against the reference's best at ANY scale.",
+        "",
+        "float64 rows are the exact-conformance mode (byte-identical output; f64 is",
+        "software-emulated on TPU). float32/bfloat16 rows are the speed modes (argmax",
+        "agreement reported). Toy instances (inst0/1/2: 3-5 users, 100k tiny iterations)",
+        "sit below the TPU's ~50us/iteration f64-emulation floor and are not what the",
+        "hardware is for; the f32 kernels still reproduce their goldens exactly.",
         "",
         "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        ref = REFERENCE_S.get(r["instance"])
+        # gen-* instances are scale-equivalent regenerations of blobs
+        # missing upstream; compare against the original's numbers.
+        ref = REFERENCE_S.get(r["instance"]) or REFERENCE_S.get(
+            r["instance"].removeprefix("gen-")
+        )
         vs_serial = f"{ref[0] / r['wall_s']:.1f}x" if ref else "-"
         vs_best = f"{ref[1] / r['wall_s']:.1f}x" if ref else "-"
         if r["golden_exact"]:

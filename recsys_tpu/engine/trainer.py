@@ -141,7 +141,16 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     elif path == "coo":
         # Speed dtypes trade the scatter-add segment reduction for the
         # prefix-sum form (exact f64 keeps the cancellation-free scatter).
-        if cfg.dtype in ("float32", "bfloat16") and jax.default_backend() == "tpu":
+        # The prefix form gathers (users + items) boundary rows per step,
+        # so it only wins when nnz dominates the dimensions; hyper-sparse
+        # huge-dimension instances (1000x1M with 2k entries) stay on
+        # scatter, where 2k scattered rows are trivial.
+        use_cumsum = (
+            cfg.dtype in ("float32", "bfloat16")
+            and jax.default_backend() == "tpu"
+            and spec.nnz >= spec.users + spec.items
+        )
+        if use_cumsum:
             data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
             L, R = _train_coo_cumsum(L0, R0, data, alpha2, spec.iters)
         else:

@@ -69,8 +69,10 @@ def factorize_sharded(
         sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
         train = make_dense_train(mesh, alpha2, spec.iters)
         L, R = train(L0, R0, jax.device_put(A, sAM), jax.device_put(M, sAM))
-    elif cfg.dtype in ("float32", "bfloat16"):
-        # Speed dtypes: scatter-free prefix-sum form (see ops/coo.py).
+    elif cfg.dtype in ("float32", "bfloat16") and spec.nnz >= spec.users + spec.items:
+        # Speed dtypes: scatter-free prefix-sum form (see ops/coo.py);
+        # hyper-sparse huge-dimension instances keep scatter (nnz gate,
+        # same reasoning as the single-chip engine).
         shards, u_blk, i_blk = shp.bucket_coo_seg(spec, pu, pi, dtype=dt)
         sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
         dev = [jax.device_put(np.asarray(x), sE) for x in shards]
