@@ -23,17 +23,20 @@ _failed = False
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                capture_output=True,
-                timeout=120,
-            )
-            if r.returncode == 0:
-                return True
-        except (OSError, subprocess.TimeoutExpired):
-            continue
+    # -mfma lets the correctly-rounded software division in rs_glibc_rand01
+    # lower to vfmadd instead of a libm call; fall back without it.
+    for flags in (["-O3", "-mfma"], ["-O3"]):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, *flags, "-shared", "-fPIC", "-o", _SO, _SRC, "-lm"],
+                    capture_output=True,
+                    timeout=120,
+                )
+                if r.returncode == 0:
+                    return True
+            except (OSError, subprocess.TimeoutExpired):
+                continue
     return False
 
 
