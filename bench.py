@@ -65,8 +65,11 @@ def main():
     # whole-loop kernel); bfloat16 runs it with single-pass MXU matmuls.
     wall32, out32 = timed_run(spec, RunConfig(dtype="float32"))
     agree32 = sum(x == y for x, y in zip(out32.splitlines(), glines)) / len(glines)
-    wall16, out16 = timed_run(spec, RunConfig(dtype="bfloat16"))
-    agree16 = sum(x == y for x, y in zip(out16.splitlines(), glines)) / len(glines)
+    try:
+        wall16, out16 = timed_run(spec, RunConfig(dtype="bfloat16"), repeats=1)
+        agree16 = sum(x == y for x, y in zip(out16.splitlines(), glines)) / len(glines)
+    except Exception:  # bf16 is a bonus row; never fail the headline on it
+        wall16, agree16 = float("nan"), float("nan")
 
     print(
         json.dumps(

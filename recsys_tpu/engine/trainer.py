@@ -163,7 +163,19 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
 
 def _factorize_pallas(spec: ProblemSpec, state: MFState | None, precision: str = "highest") -> MFState:
     """Fused-kernel f32 path: VMEM-resident loop when the problem fits,
-    two-pass tiled iteration otherwise. Returns factors at true shapes."""
+    two-pass tiled iteration otherwise. Returns factors at true shapes.
+
+    Traced with x64 locally disabled: the kernels are all-f32/i32, and a
+    process running in x64 mode (e.g. for an f64 conformance row in the
+    same bench) would otherwise widen loop indices to i64, which Mosaic
+    rejects — and identical tracing also shares the compile cache with
+    non-x64 processes.
+    """
+    with jax.enable_x64(False):
+        return _factorize_pallas_impl(spec, state, precision)
+
+
+def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
     strip = 512 if spec.items * 8 > 4096 else 128
     alpha2 = 2.0 * spec.alpha
     if pallas_dense.resident_fits(spec, strip=strip):

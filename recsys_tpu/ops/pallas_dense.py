@@ -92,7 +92,9 @@ def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *,
         Rout_ref[:] = Rout_ref[:] + alpha2 * dR_ref[:]
         return carry
 
-    jax.lax.fori_loop(0, iters, iter_body, 0)
+    # int32 bounds: under x64 mode a default int loop index is i64,
+    # which Mosaic rejects inside the kernel.
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(iters), iter_body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision"))
