@@ -211,10 +211,30 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
     return np.asarray(top1)
 
 
+def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
+    """Whole problem in ONE kernel: training loop + masked top-1."""
+    strip = 512 if spec.items * 8 > 4096 else 128
+    with jax.enable_x64(False):
+        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=strip)
+        _, _, top1 = pallas_dense.resident_train_top1(
+            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+            iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
+            precision=precision, items_true=spec.items,
+        )
+        return np.asarray(top1)[: spec.users, 0]
+
+
 def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarray"]:
     """Factorize + recommend; returns (stdout payload, top1 indices)."""
     from recsys_tpu.io.writers import format_recommendations
 
+    path = choose_path(spec, cfg)
+    if path == "pallas" and pallas_dense.resident_fits(
+        spec, strip=512 if spec.items * 8 > 4096 else 128
+    ):
+        precision = "default" if cfg.dtype == "bfloat16" else "highest"
+        top1 = _pallas_fused_top1(spec, precision)
+        return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     state = factorize(spec, cfg)
     top1 = recommend(state, spec, cfg)
     return format_recommendations(top1, spec.rated_counts(), spec.items), top1

@@ -227,6 +227,77 @@ def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret:
     return L + alpha2 * dL, R + alpha2 * dR
 
 
+def _resident_top1_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, top_ref, dL_ref, dR_ref, bv_ref, *, iters, alpha2, strip, precision, items_true):
+    """Resident kernel + fused masked top-1: the whole problem in one
+    kernel. After the training loop, reconstruct B strip-by-strip on the
+    MXU, mask rated cells (A != 0) and padded items, and keep a running
+    (best value, best index) per user. Strictly-greater updates preserve
+    the reference's lowest-index tie-break (``matFact.c:17``)."""
+    _resident_kernel(
+        A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref,
+        iters=iters, alpha2=alpha2, strip=strip, precision=precision,
+    )
+    U = L_ref.shape[0]
+    I = R_ref.shape[0]
+    neg = jnp.float32(-jnp.inf)
+    bv_ref[:] = jnp.full_like(bv_ref, neg)
+    top_ref[:] = jnp.zeros_like(top_ref)
+    for s in range(I // strip):
+        off = s * strip
+        a = A_ref[:, off : off + strip]
+        r = Rout_ref[off : off + strip, :]
+        b = jax.lax.dot_general(
+            Lout_ref[:], r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
+        b = jnp.where((a != 0.0) | (col >= items_true), neg, b)
+        val = jnp.max(b, axis=1, keepdims=True)  # (U, 1)
+        idx = jnp.argmax(b, axis=1, keepdims=True).astype(jnp.int32) + off
+        take = val > bv_ref[:]
+        bv_ref[:] = jnp.where(take, val, bv_ref[:])
+        top_ref[:] = jnp.where(take, idx, top_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
+def resident_train_top1(L, R, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
+    """resident_train + fused top-1. Returns (L', R', top1[U, 1] int32)."""
+    U, K = L.shape
+    I = R.shape[0]
+    assert A.shape == (U, I) and I % strip == 0 and K % 128 == 0 and U % 8 == 0
+    kernel = functools.partial(
+        _resident_top1_kernel, iters=iters, alpha2=alpha2, strip=strip,
+        precision=precision, items_true=items_true,
+    )
+    flops = (3 * iters + 1) * 2 * U * I * K
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((U, K), jnp.float32),
+            jax.ShapeDtypeStruct((I, K), jnp.float32),
+            jax.ShapeDtypeStruct((U, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((U, K), jnp.float32),
+            pltpu.VMEM((I, K), jnp.float32),
+            pltpu.VMEM((U, 1), jnp.float32),  # running best value
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
+        interpret=_interpret(interpret),
+    )(A, L, R)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "bu", "bi", "interpret", "precision"))
 def tiled_train(L, R, A, alpha2, *, iters: int, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
     """Full training loop over the tiled kernels — one XLA program whose

@@ -77,3 +77,50 @@ def test_resident_fits_budget():
     assert not resident_fits(big)  # 4096x4096 f32 A alone is 64 MB
     small = generate_instance(500, 500, 8, 1, 2, iters=1, alpha=0.01, seed=1)
     assert resident_fits(small)
+
+
+def test_resident_top1_matches_oracle(small_spec):
+    from recsys_tpu.engine.oracle import top1_numpy
+    from recsys_tpu.ops.pallas_dense import resident_train_top1
+
+    L, R, A, _ = pad_for_pallas(small_spec, strip=128)
+    Lp, Rp, top1 = resident_train_top1(
+        L, R, A, iters=5, alpha2=2 * small_spec.alpha, strip=128,
+        items_true=small_spec.items,
+    )
+    ref = _reference_factors(small_spec, 5)
+    want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), small_spec)
+    np.testing.assert_array_equal(
+        np.asarray(top1)[: small_spec.users, 0], want
+    )
+
+
+def test_resident_top1_tie_break_lowest_index():
+    # All-equal factors: every prediction ties; lowest item index must win.
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.pallas_dense import resident_train_top1
+
+    U, I, K = 8, 128, 128
+    L = np.ones((U, K), np.float32)
+    R = np.ones((I, K), np.float32)
+    A = np.zeros((U, I), np.float32)  # nothing rated
+    _, _, top1 = resident_train_top1(
+        jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+        iters=0, alpha2=0.0, strip=128, items_true=I,
+    )
+    np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
+
+
+def test_run_uses_fused_kernel_golden(small_spec):
+    """trainer.run on a resident-size instance must still match the
+    oracle output through the fused path (interpret mode on CPU)."""
+    import dataclasses
+
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.engine.oracle import run_oracle
+
+    spec = dataclasses.replace(small_spec, iters=20)
+    out, _ = trainer.run(spec, RunConfig(dtype="float32", path="pallas"))
+    assert out == run_oracle(spec)
