@@ -181,12 +181,13 @@ def _dr_kernel(A_ref, L_ref, R_ref, dR_ref, *, precision):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bu", "bi", "interpret", "precision"))
-def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
-    """One GD step for instances too large for the resident kernel.
+def tiled_deltas(L, R, A, *, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
+    """Raw gradient sums (ΔL, ΔR) over A's tiles — the building block of
+    both the single-chip tiled step and the sharded per-device step
+    (where the caller psums the deltas across the mesh before applying).
 
     L: (U, K), R: (I, K), A: (U, I); U mult of bu, I mult of bi, K mult
-    of 128, float32 zero-padded. Returns (L', R').
+    of 128, float32 zero-padded.
     """
     U, K = L.shape
     I = R.shape[0]
@@ -224,6 +225,13 @@ def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret:
         interpret=_interpret(interpret),
     )(A, L, R)
 
+    return dL, dR
+
+
+@functools.partial(jax.jit, static_argnames=("bu", "bi", "interpret", "precision"))
+def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
+    """One GD step for instances too large for the resident kernel."""
+    dL, dR = tiled_deltas(L, R, A, bu=bu, bi=bi, interpret=interpret, precision=precision)
     return L + alpha2 * dL, R + alpha2 * dR
 
 

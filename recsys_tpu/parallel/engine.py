@@ -47,10 +47,24 @@ def factorize_sharded(
     mesh=None,
 ) -> tuple[MFState, "jax.sharding.Mesh"]:
     """Train over the 2-D mesh; returns (padded sharded factors, mesh)."""
+    from recsys_tpu.ops.pallas_dense import mask_is_implicit
+
     dt = jnp.dtype(cfg.dtype)
     if mesh is None:
         mesh = make_mesh(spec.users, spec.items, shape=cfg.mesh_shape)
     pu, pi = mesh.devices.shape
+
+    path = _choose_path(spec, cfg, pu * pi)
+    if (
+        path in ("dense", "pallas")
+        and cfg.dtype in ("float32", "bfloat16")
+        and spec.nnz
+        and mask_is_implicit(spec)
+    ):
+        # Multi-chip form of the fused Pallas dense path: per-shard
+        # tiled-kernel deltas + the two axis psums.
+        precision = "default" if cfg.dtype == "bfloat16" else "highest"
+        return _factorize_sharded_pallas(spec, mesh, state, precision), mesh
 
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
@@ -63,7 +77,6 @@ def factorize_sharded(
     R0 = jax.device_put(R0, sR)
     alpha2 = dt.type(2.0 * spec.alpha)
 
-    path = _choose_path(spec, cfg, pu * pi)
     if path == "dense":
         A, M = shp.dense_blocks(spec, pu, pi, dtype=dt)
         sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
@@ -87,11 +100,47 @@ def factorize_sharded(
     return MFState(L=L, R=R), mesh
 
 
+def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, precision: str) -> MFState:
+    """Per-shard Pallas tiled deltas + axis psums. Pads users/items so
+    each shard's block is a tile multiple; k to the 128-lane tile.
+    Traced under enable_x64(False) — the kernels are all-f32/i32."""
+    from recsys_tpu.parallel.step import make_pallas_dense_train
+
+    pu, pi = mesh.devices.shape
+    users_pad, u_blk, bu = shp.pallas_block_dims(spec.users, pu, 8, 256)
+    items_pad, i_blk, bi = shp.pallas_block_dims(spec.items, pi, 128, 512)
+    K = -(-spec.features // 128) * 128
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    L0 = np.zeros((users_pad, K), np.float32)
+    L0[: spec.users, : spec.features] = state.L
+    R0 = np.zeros((items_pad, K), np.float32)
+    R0[: spec.items, : spec.features] = state.R
+    A = np.zeros((users_pad, items_pad), np.float32)
+    A[spec.rows, spec.cols] = spec.vals
+
+    with jax.enable_x64(False):
+        sL = NamedSharding(mesh, P(AXIS_USERS, None))
+        sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
+        sA = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
+        train = make_pallas_dense_train(
+            mesh, np.float32(2.0 * spec.alpha), spec.iters, bu, bi, precision
+        )
+        L, R = train(
+            jax.device_put(L0, sL), jax.device_put(R0, sR), jax.device_put(A, sA)
+        )
+    return MFState(L=L, R=R)
+
+
 def recommend_sharded(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
     """Distributed masked top-1; returns int32[users] on host."""
     pu, pi = mesh.devices.shape
-    i_blk = shp.pad_up(spec.items, pi) // pi
-    mask = shp.rated_mask_padded(spec, pu, pi)
+    # Dims derive from the factor shapes: the Pallas-sharded path pads
+    # beyond the default mesh multiple.
+    users_pad = state.L.shape[0]
+    items_pad = state.R.shape[0]
+    i_blk = items_pad // pi
+    mask = shp.rated_mask_padded(spec, pu, pi, users_pad=users_pad, items_pad=items_pad)
     sM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
     top1_fn = make_sharded_top1(mesh, i_blk)
     top1 = top1_fn(state.L, state.R, jax.device_put(mask, sM))
@@ -128,9 +177,14 @@ def dryrun(n_devices: int) -> None:
         state, _ = factorize_sharded(spec, cfg, mesh=mesh)
         top1 = recommend_sharded(state, spec, mesh)
         assert top1.shape == (spec.users,)
-    # Cross-check the two sharded paths agree after one step.
+    # Cross-check the two sharded paths agree after one step (the dense
+    # path routes through the Pallas-sharded trainer, which pads k to
+    # the 128-lane tile — compare at true dims).
     s_d, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="dense"), mesh=mesh)
     s_c, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
     np.testing.assert_allclose(
-        np.asarray(s_d.L), np.asarray(s_c.L), rtol=2e-5, atol=2e-6
+        np.asarray(s_d.L)[: spec.users, : spec.features],
+        np.asarray(s_c.L)[: spec.users, : spec.features],
+        rtol=2e-5,
+        atol=2e-6,
     )

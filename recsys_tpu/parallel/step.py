@@ -105,6 +105,39 @@ def make_coo_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_pallas_dense_train(mesh, alpha2, iters: int, bu: int, bi: int, precision: str = "highest"):
+    """Jitted sharded dense trainer whose per-device gradient is the
+    fused Pallas tiled kernel (implicit mask: A != 0), followed by the
+    two axis psums — the multi-chip form of the single-chip Pallas path.
+
+    L: (users_pad, k) P('u', None); R: (items_pad, k) P('i', None);
+    A: (users_pad, items_pad) P('u', 'i'). Per-shard blocks must be
+    multiples of (bu, bi); k a multiple of 128.
+    """
+    from recsys_tpu.ops.pallas_dense import tiled_deltas
+
+    def loop(L, R, A):
+        def body(_, c):
+            L, R = c
+            dL, dR = tiled_deltas(L, R, A, bu=bu, bi=bi, precision=precision)
+            dL = jax.lax.psum(dL, AXIS_ITEMS)
+            dR = jax.lax.psum(dR, AXIS_USERS)
+            return L + alpha2 * dL, R + alpha2 * dR
+
+        return jax.lax.fori_loop(0, iters, body, (L, R))
+
+    sharded = shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None), P(AXIS_USERS, AXIS_ITEMS)),
+        out_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)),
+        # pallas_call outputs carry no vma annotation; the psums make the
+        # result's axis-variance explicit anyway.
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_coo_seg_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
     """Jitted sharded scatter-free COO trainer (prefix-sum reduction).
 

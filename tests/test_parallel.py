@@ -105,3 +105,28 @@ def test_sharded_coo_cumsum_matches_single_chip(shape):
     np.testing.assert_allclose(
         np.asarray(got.R)[: spec.items], np.asarray(want.R), rtol=3e-4, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8), (8, 1)])
+def test_sharded_pallas_matches_single_chip(shape):
+    """f32 auto path on a dense-fitting implicit-mask instance routes to
+    the Pallas-sharded trainer (interpret mode on CPU) and must match
+    the single-chip dense engine."""
+    spec = _spec("inst30-40-10-2-10", 50)
+    want = trainer.factorize(spec, RunConfig(dtype="float32", path="dense"))
+    mesh = make_mesh(spec.users, spec.items, shape=shape)
+    got, _ = par.factorize_sharded(spec, RunConfig(dtype="float32"), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got.L)[: spec.users, : spec.features],
+        np.asarray(want.L), rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.R)[: spec.items, : spec.features],
+        np.asarray(want.R), rtol=3e-4, atol=3e-5,
+    )
+
+
+def test_sharded_pallas_end_to_end_golden():
+    spec = _spec("inst30-40-10-2-10")
+    out, _ = par.run(spec, RunConfig(dtype="float32", mesh_shape=(2, 4)))
+    assert out == read_golden("inst30-40-10-2-10")
