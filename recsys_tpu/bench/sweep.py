@@ -144,7 +144,21 @@ def format_markdown(rows: list[dict]) -> str:
             f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
             f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "Notes:",
+        "- `gen-*` rows are scale-equivalent regenerations of instances whose `.in`",
+        "  blobs are missing upstream (see tests/fixtures/README.md); gen-instML1M",
+        "  mirrors ML1M's shape/nnz/hyperparameters and is compared against the",
+        "  original's published numbers.",
+        "- bf16 single-pass matmuls help the VMEM-resident kernel but not the tiled",
+        "  kernel (A-traffic/scheduling bound, not MXU-pass bound) — future work.",
+        "- inst1000-1e6-1000-1-3 (1000x1M, k=1000) is supported by the COO path but",
+        "  not benchmarked through this remote TPU attachment: 4 GB factor tables",
+        "  plus the 1M-segment program's compile cost exceeded what the attachment",
+        "  tolerates (and its upstream golden is an empty file).",
+        "",
+    ]
     return "\n".join(lines)
 
 
@@ -160,7 +174,11 @@ def main(argv=None):
 
     if args.render:
         rows = [json.loads(l) for l in open(args.render) if l.strip()]
-        md = format_markdown(rows)
+        # Keep the latest row per (instance, dtype): refreshed runs append.
+        latest = {}
+        for r in rows:
+            latest[(r["instance"], r["dtype"])] = r
+        md = format_markdown(list(latest.values()))
         if args.out:
             open(args.out, "w").write(md)
         else:

@@ -1,15 +1,23 @@
 """Single-chip jitted training engine.
 
-The whole factorization — all ``iters`` GD steps — is one XLA program:
-a ``lax.fori_loop`` whose body is the masked-matmul (dense) or
-gather/segment-sum (COO) step, jitted with donated factor buffers. This
-replaces the reference's serial driver (``matFact.c:29-59``) and both
-OpenMP drivers at once: intra-chip parallelism is XLA's job.
+The whole factorization — all ``iters`` GD steps — is one XLA program
+(or one Pallas kernel), replacing the reference's serial driver
+(``matFact.c:29-59``) and both OpenMP drivers at once: intra-chip
+parallelism is XLA's job.
 
-Path selection mirrors the spirit of the reference's reduce-side
-heuristic (``matFact-omp.c:44``): pick the formulation by problem
-shape — dense masked matmuls while A and M fit comfortably in HBM,
-COO segment-sums beyond that.
+Path selection generalizes the reference's reduce-side heuristic
+(``matFact-omp.c:44``) into a per-instance work comparison
+(measurements in docs/DESIGN.md §2-§4):
+
+* ``pallas``  — fused MXU kernels (VMEM-resident whole-loop kernel with
+  fused top-1 when A fits on-chip; two-pass tiled kernel otherwise);
+  f32/bf16 on TPU with all-non-zero ratings.
+* ``dense``   — XLA masked-matmul form, any dtype; the exact-f64
+  conformance mode.
+* ``coo``     — sparse instances: prefix-sum segment reduction for
+  speed dtypes (scatter-free), scatter form for exact f64 and
+  hyper-sparse huge-dimension shapes.
+* ``ell``     — dual-ELL padded-table einsum form (explicit option).
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ from recsys_tpu.ops.coo import (
     make_coo_seg_inputs,
 )
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
-from recsys_tpu.ops.ell import EllData, ell_fits, ell_gd_step, ell_slots, make_ell_inputs
+from recsys_tpu.ops.ell import EllData, ell_gd_step, ell_slots, make_ell_inputs
 from recsys_tpu.ops.topk import make_mask_blocks, pad_items, top1_blocked
 
 # Dense A + M byte budget before switching to the COO formulation.
