@@ -86,6 +86,38 @@ def factorize_multihost(
     pu, pi = mesh.devices.shape
 
     state = init_factors(spec.users, spec.items, spec.features)
+
+    from recsys_tpu.ops.pallas_dense import mask_is_implicit
+
+    if cfg.dtype in ("float32", "bfloat16") and spec.nnz and mask_is_implicit(spec):
+        # Same per-shard Pallas tiled step as the single-host sharded
+        # engine; only the array-assembly differs (per-process blocks).
+        from recsys_tpu.parallel.step import make_pallas_dense_train
+
+        users_pad, _, bu = shp.pallas_block_dims(spec.users, pu, 8, 256)
+        items_pad, _, bi = shp.pallas_block_dims(spec.items, pi, 128, 512)
+        K = -(-spec.features // 128) * 128
+        L0 = np.zeros((users_pad, K), np.float32)
+        L0[: spec.users, : spec.features] = state.L
+        R0 = np.zeros((items_pad, K), np.float32)
+        R0[: spec.items, : spec.features] = state.R
+        A = np.zeros((users_pad, items_pad), np.float32)
+        A[spec.rows, spec.cols] = spec.vals
+        with jax.enable_x64(False):
+            sL = NamedSharding(mesh, P(AXIS_USERS, None))
+            sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
+            sA = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
+            precision = "default" if cfg.dtype == "bfloat16" else "highest"
+            train = make_pallas_dense_train(
+                mesh, np.float32(2.0 * spec.alpha), spec.iters, bu, bi, precision
+            )
+            L, R = train(
+                _local_block_array(L0, sL),
+                _local_block_array(R0, sR),
+                _local_block_array(A, sA),
+            )
+        return MFState(L=L, R=R), mesh
+
     L0, R0 = shp.pad_factors(
         np.asarray(state.L, dtype=dt), np.asarray(state.R, dtype=dt), pu, pi
     )
@@ -108,8 +140,9 @@ def factorize_multihost(
 def recommend_multihost(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
     """Distributed top-1, gathered to every process (Gatherv analogue)."""
     pu, pi = mesh.devices.shape
-    i_blk = shp.pad_up(spec.items, pi) // pi
-    mask = shp.rated_mask_padded(spec, pu, pi)
+    users_pad, items_pad = state.L.shape[0], state.R.shape[0]
+    i_blk = items_pad // pi
+    mask = shp.rated_mask_padded(spec, pu, pi, users_pad=users_pad, items_pad=items_pad)
     sM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
     top1_fn = make_sharded_top1(mesh, i_blk)
     top1 = top1_fn(state.L, state.R, _local_block_array(mask, sM))

@@ -33,3 +33,11 @@ def test_multihost_equals_singlehost_engine():
     out_sh, top_sh = engine.run(spec, cfg)
     np.testing.assert_array_equal(top_mh, top_sh)
     assert out_mh == out_sh
+
+
+def test_multihost_pallas_route_golden():
+    """f32 auto on an implicit-mask instance routes through the Pallas
+    sharded step with per-process block assembly; golden end-to-end."""
+    spec = load_problem(str(FIXTURES / "inst30-40-10-2-10.in"))
+    out, _ = multihost.run(spec, RunConfig(dtype="float32"))
+    assert out == open(FIXTURES / "inst30-40-10-2-10.out").read()
