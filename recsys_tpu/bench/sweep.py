@@ -153,6 +153,11 @@ def format_markdown(rows: list[dict]) -> str:
         "  original's published numbers.",
         "- bf16 single-pass matmuls help the VMEM-resident kernel but not the tiled",
         "  kernel (A-traffic/scheduling bound, not MXU-pass bound) — future work.",
+        "- inst200-10000's golden is order-sensitive: even the numpy f64 oracle (and",
+        "  hence any matrix-form engine) agrees 99.50%, not byte-exact — the last",
+        "  0.5% of argmaxes depend on the serial C loop's floating-point summation",
+        "  order. Every instance the reference reports as verification-grade",
+        "  (SURVEY.md S0) is byte-exact here in f64 AND in fused-kernel f32.",
         "- inst1000-1e6-1000-1-3 (1000x1M, k=1000) is supported by the COO path but",
         "  not benchmarked through this remote TPU attachment: 4 GB factor tables",
         "  plus the 1M-segment program's compile cost exceeded what the attachment",
