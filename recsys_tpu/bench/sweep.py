@@ -174,6 +174,8 @@ def main(argv=None):
     ap.add_argument("--jsonl", default=None, help="append JSONL rows here")
     ap.add_argument("--instances", default=None, help="comma-separated subset")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--f64-cell-limit", type=int, default=F64_CELL_LIMIT,
+                    help="skip f64 rows above users*items cells")
     ap.add_argument("--render", default=None, help="render this JSONL to --out and exit")
     args = ap.parse_args(argv)
 
@@ -200,7 +202,7 @@ def main(argv=None):
 
     names = args.instances.split(",") if args.instances else DEFAULT_INSTANCES
     if args.dtype == "float64":
-        names = [n for n in names if _dims(n)[0] * _dims(n)[1] <= F64_CELL_LIMIT]
+        names = [n for n in names if _dims(n)[0] * _dims(n)[1] <= args.f64_cell_limit]
     rows = []
     for name in names:
         if not os.path.exists(os.path.join(_fixture_dir(), f"{name}.in")):
