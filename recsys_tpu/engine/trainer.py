@@ -187,23 +187,19 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
     strip = 512 if spec.items * 8 > 4096 else 128
     alpha2 = 2.0 * spec.alpha
     if pallas_dense.resident_fits(spec, strip=strip):
-        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=strip)
-        if state is not None:
-            L[: spec.users, : spec.features] = state.L
-            R[: spec.items, : spec.features] = state.R
+        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
+        A = pallas_dense.device_dense_A(spec, U, I)
         Lp, Rp = pallas_dense.resident_train(
-            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+            jnp.asarray(L), jnp.asarray(R), A,
             iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
         )
     else:
         bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
         bi = 1024 if spec.items >= 1024 else 128
-        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=bi, u_mult=bu)
-        if state is not None:
-            L[: spec.users, : spec.features] = state.L
-            R[: spec.items, : spec.features] = state.R
+        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=bi, u_mult=bu, state=state)
+        A = pallas_dense.device_dense_A(spec, U, I)
         Lp, Rp = pallas_dense.tiled_train(
-            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A), jnp.float32(alpha2),
+            jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
             iters=spec.iters, bu=bu, bi=bi, precision=precision,
         )
     return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
@@ -223,9 +219,10 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
     strip = 512 if spec.items * 8 > 4096 else 128
     with jax.enable_x64(False):
-        L, R, A, _ = pallas_dense.pad_for_pallas(spec, strip=strip)
+        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
+        A = pallas_dense.device_dense_A(spec, U, I)
         _, _, top1 = pallas_dense.resident_train_top1(
-            jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+            jnp.asarray(L), jnp.asarray(R), A,
             iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
             precision=precision, items_true=spec.items,
         )

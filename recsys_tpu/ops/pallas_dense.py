@@ -47,6 +47,13 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# Mosaic's default scoped-VMEM limit is 16 MB; the physical VMEM on the
+# target (v5e) is far larger. Raising the limit lets the resident kernel
+# keep bigger problems fully on-chip (empirically validated; see
+# RESIDENT_VMEM_BUDGET below).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def _interpret(flag: bool | None) -> bool:
     """Mosaic needs real TPU hardware; anywhere else run interpreted
     (the CPU test mesh exercises the same kernel logic)."""
@@ -136,6 +143,7 @@ def resident_train(L, R, A, *, iters: int, alpha2: float, strip: int = 512, inte
         # L and R update in place: the factor tables live in one VMEM
         # buffer each for the whole run.
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
         interpret=_interpret(interpret),
     )(A, L, R)
@@ -301,6 +309,7 @@ def resident_train_top1(L, R, A, *, iters: int, alpha2: float, strip: int = 512,
             pltpu.VMEM((U, 1), jnp.float32),  # running best value
         ],
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
         interpret=_interpret(interpret),
     )(A, L, R)
@@ -321,7 +330,10 @@ def tiled_train(L, R, A, alpha2, *, iters: int, bu: int = 1024, bi: int = 1024, 
 # Host-side padding / dispatch helpers
 # ---------------------------------------------------------------------
 
-RESIDENT_VMEM_BUDGET = 12 << 20  # A + scratch must fit in ~16 MB VMEM
+# Estimated working set allowed for the resident kernel. Mosaic's actual
+# scoped allocation runs ~1.5x this estimate (temporaries); with the
+# kernel's 100 MB scoped-vmem limit, 48 MB estimated keeps a safe margin.
+RESIDENT_VMEM_BUDGET = 48 << 20
 
 
 def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
@@ -345,6 +357,54 @@ def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
     A = np.zeros((U, I), np.float32)
     A[spec.rows, spec.cols] = spec.vals
     return L, R, A, (U, I, K)
+
+
+def pad_factors_for_pallas(spec, strip: int = 512, u_mult: int = 8, state=None):
+    """Zero-padded f32 (L0, R0, dims) without materializing dense A on
+    host — A is densified on device by ``device_dense_A`` (uploading the
+    nnz-sized COO instead of the users×items matrix; for ML1M-scale the
+    transfer drops ~8x)."""
+    import numpy as np
+
+    from recsys_tpu.models.mf import init_factors
+
+    U = _round_up(spec.users, u_mult)
+    I = _round_up(spec.items, strip)
+    K = _round_up(spec.features, 128)
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    L = np.zeros((U, K), np.float32)
+    L[: spec.users, : spec.features] = state.L
+    R = np.zeros((I, K), np.float32)
+    R[: spec.items, : spec.features] = state.R
+    return L, R, (U, I, K)
+
+
+# XLA's TPU scatter compile time scales with the update count (measured:
+# ~90 s at 100k updates, >9 min at 1M through the remote attachment), so
+# device-side densify only pays below this; larger instances build A on
+# host and pay the transfer instead.
+DEVICE_DENSIFY_MAX_NNZ = 200_000
+
+
+def device_dense_A(spec, U: int, I: int):
+    """Densify the ratings on device when cheap (one scatter of nnz rows;
+    the COO arrays are the only host->device transfer), else on host."""
+    import numpy as np
+
+    if spec.nnz > DEVICE_DENSIFY_MAX_NNZ:
+        a = np.zeros((U, I), np.float32)
+        a[spec.rows, spec.cols] = spec.vals
+        return jnp.asarray(a)
+    rows = jnp.asarray(spec.rows, jnp.int32)
+    cols = jnp.asarray(spec.cols, jnp.int32)
+    vals = jnp.asarray(spec.vals.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("U", "I"))
+    def scatter(rows, cols, vals, U, I):
+        return jnp.zeros((U, I), jnp.float32).at[rows, cols].set(vals)
+
+    return scatter(rows, cols, vals, U=U, I=I)
 
 
 def resident_fits(spec, strip: int = 512) -> bool:
