@@ -4,13 +4,16 @@ Two kernels replace the XLA dense path's per-iteration HBM round-trips
 (XLA materializes the masked error E = M ⊙ (A − L·Rᵀ) between its three
 matmuls; reference hot loop: ``matFact.c:41-53``):
 
-* **resident**: for instances whose dense A fits in VMEM (~12 MB — e.g.
-  instML100k at 944×1792 f32 is 6.8 MB), the ENTIRE training loop runs
-  inside one kernel. A stays VMEM-resident across all iterations; L and
-  R are updated in place (input/output aliased); the only HBM traffic
-  of the whole run is the initial fill and final drain. The error tile
-  is computed strip-by-strip on the MXU and immediately consumed by the
-  two gradient matmuls, so it never exists outside VMEM.
+* **resident**: for instances whose dense A fits in VMEM (working sets
+  up to ~77 MB with the raised scoped-vmem limit — covers instML100k's
+  7 MB up to 600×10240-sized matrices), the ENTIRE training loop runs
+  inside one kernel — optionally with the masked top-1 scan fused in,
+  making the whole problem a single ``pallas_call``. A stays
+  VMEM-resident across all iterations; L and R are updated in place
+  (input/output aliased); the only HBM traffic of the whole run is the
+  initial fill and final drain. The error tile is computed
+  strip-by-strip on the MXU and immediately consumed by the two
+  gradient matmuls, so it never exists outside VMEM.
 
 * **tiled**: one GD iteration for arbitrary sizes, two passes over A's
   (row-block × col-block) tiles. Pass 1 accumulates ΔL (grid rows outer,
