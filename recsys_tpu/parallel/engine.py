@@ -159,8 +159,6 @@ def dryrun(n_devices: int) -> None:
     """Driver hook: jit + execute one full sharded training step (both
     formulations) and the sharded top-1 on tiny shapes over an
     n_devices-device 2-D mesh."""
-    import dataclasses
-
     from recsys_tpu.io.generator import generate_instance
 
     devs = jax.devices()[:n_devices]

@@ -22,8 +22,6 @@ because item blocks are contiguous and ascending.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
