@@ -21,9 +21,29 @@ along as extra fields.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The remote TPU attachment can become unresponsive (a killed client's
+# lease takes ~45+ min to clear); a device call then blocks forever.
+# Fail loudly instead of hanging the harness.
+WATCHDOG_SECS = int(os.environ.get("BENCH_WATCHDOG_SECS", "1500"))
+
+
+def _watchdog():
+    time.sleep(WATCHDOG_SECS)
+    print(
+        f"bench.py watchdog: no result after {WATCHDOG_SECS}s — "
+        "TPU attachment unresponsive (see CLAUDE.md 'TPU attachment gotchas')",
+        file=sys.stderr,
+        flush=True,
+    )
+    os._exit(2)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 BASELINE_SERIAL_S = 104.930  # report-omp.pdf Table 2, instML100k serial
 BASELINE_BEST_S = 13.922  # report-omp.pdf Table 2, instML100k OMP-8
