@@ -130,3 +130,36 @@ def test_sharded_pallas_end_to_end_golden():
     spec = _spec("inst30-40-10-2-10")
     out, _ = par.run(spec, RunConfig(dtype="float32", mesh_shape=(2, 4)))
     assert out == read_golden("inst30-40-10-2-10")
+
+
+def test_sharded_coo_with_empty_shards():
+    """A shard owning ZERO entries must contribute exactly nothing (the
+    reference needed an explicit empty-rank protocol, matFact-mpi.c:377-405;
+    here padding entries with weight 0 make it fall out)."""
+    import numpy as np
+
+    from recsys_tpu.config import ProblemSpec
+
+    # All entries in the top-left corner: on a (2,4) mesh most shards are
+    # empty. nnz=3 exercises the scatter branch; nnz=60 (>= users+items)
+    # exercises the prefix-sum branch.
+    cases = [
+        (np.array([0, 1, 2], dtype=np.int32), np.array([0, 1, 2], dtype=np.int32)),
+        (np.repeat(np.arange(3, dtype=np.int32), 20), np.tile(np.arange(20, dtype=np.int32), 3)),
+    ]
+    rng = np.random.default_rng(0)
+    for rows, cols in cases:
+        vals = rng.integers(1, 6, rows.size).astype(np.float64)
+        spec = ProblemSpec(iters=10, alpha=0.01, features=4, users=16, items=32,
+                           rows=rows, cols=cols, vals=vals)
+        want = trainer.factorize(spec, RunConfig(dtype="float32", path="dense"))
+        mesh = make_mesh(spec.users, spec.items, shape=(2, 4))
+        got, _ = par.factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(got.L)[: spec.users, : spec.features],
+            np.asarray(want.L), rtol=3e-5, atol=3e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.R)[: spec.items, : spec.features],
+            np.asarray(want.R), rtol=3e-5, atol=3e-6,
+        )
