@@ -130,3 +130,20 @@ def test_coo_cumsum_step_matches_scatter_step():
     L2, R2 = coo_gd_step_cumsum(L, R, d2, a2)
     np.testing.assert_allclose(np.asarray(L1), np.asarray(L2), rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), rtol=1e-12, atol=1e-13)
+
+
+def test_bfloat16_dense_path_cpu_smoke():
+    """bfloat16 falls back to the XLA dense path off-TPU and still
+    produces a plausible recommendation list."""
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.io.generator import generate_instance
+
+    spec = generate_instance(24, 30, 4, 2, 6, iters=20, alpha=0.01, seed=17)
+    assert trainer.choose_path(spec, RunConfig(dtype="bfloat16")) in ("dense", "coo")
+    out, top1 = trainer.run(spec, RunConfig(dtype="bfloat16", path="dense"))
+    assert len(top1) == spec.users
+    # bf16 should agree with f64 on most argmaxes even at this tiny scale.
+    out64, top64 = trainer.run(spec, RunConfig(dtype="float64", path="dense"))
+    agree = (top1 == top64).mean()
+    assert agree >= 0.8, agree
