@@ -23,6 +23,10 @@ import sys
 
 def _add_common(p):
     p.add_argument("input", help="path to .in instance file")
+    p.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="print dataset/config info to stderr (print_dataset_info analogue)",
+    )
     p.add_argument("--dtype", default=None, help="float32|float64|bfloat16 (default: f32 on TPU, f64 on CPU)")
     p.add_argument("--path", default="auto", choices=["auto", "dense", "ell", "coo", "pallas"])
     p.add_argument("--mesh", default=None, help="RxC mesh override, e.g. 4x2 (multi-device)")
@@ -109,6 +113,20 @@ def main(argv=None):
         mesh_shape = (int(r), int(c))
     cfg = RunConfig(dtype=args.dtype, path=args.path, mesh_shape=mesh_shape, block_items=args.block_items)
 
+    def _banner(spec):
+        # The reference's print_dataset_info (datatypes.c:19-24), on stderr
+        # so the stdout contract stays clean.
+        if getattr(args, "verbose", False):
+            import jax
+
+            print(
+                f"dataset: {spec.users}x{spec.items} k={spec.features} "
+                f"nnz={spec.nnz} iters={spec.iters} alpha={spec.alpha} | "
+                f"dtype={cfg.dtype} path={cfg.path} backend={jax.default_backend()} "
+                f"devices={jax.device_count()}",
+                file=sys.stderr,
+            )
+
     if args.cmd == "run":
         import contextlib
 
@@ -119,6 +137,7 @@ def main(argv=None):
             prof = jax.profiler.trace(args.profile)
         with prof, Timer() as t:
             spec = load_problem(args.input)
+            _banner(spec)
             if args.checkpoint:
                 from recsys_tpu.engine import trainer
                 from recsys_tpu.utils.checkpoint import run_with_checkpoints
@@ -137,6 +156,7 @@ def main(argv=None):
 
     if args.cmd == "bench":
         spec = load_problem(args.input)
+        _banner(spec)
         # Warm-up run compiles everything.
         _dispatch_run(spec, cfg)
         times = []

@@ -87,3 +87,12 @@ def test_bench_emits_json(capsys):
 
     row = json.loads(out.splitlines()[-1])
     assert row["instance"] == "inst0.in" and row["updates_per_s"] > 0
+
+
+def test_verbose_banner_on_stderr(capsys):
+    rc = cli.main(["run", str(FIXTURES / "inst0.in"), "--dtype", "float64",
+                   "--no-time", "--verbose"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert captured.out == open(FIXTURES / "inst0.out").read()  # stdout clean
+    assert "dataset: 3x5 k=2 nnz=7" in captured.err
