@@ -61,7 +61,10 @@ def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
     # fastest on TPU (ELL pays ~2x more row-gathers; scatter-add COO
     # pays the serial scatter rate), so auto picks "coo" and the engine
     # selects the cumsum variant for speed dtypes internally.
-    if spec.nnz and spec.users * spec.items > 16 * ell_slots(spec):
+    # Crossover measured on the fixture set: inst400-50000 (ratio ~23)
+    # runs 1.6x faster on the tiled Pallas path than on COO, while
+    # inst50000-5000 (ratio ~420) is 10x faster on COO.
+    if spec.nnz and spec.users * spec.items > 32 * ell_slots(spec):
         return "coo"
     if not dense_fits:
         return "coo"
