@@ -29,10 +29,20 @@
 long rs_parse_entries(const char *buf, long len, long nnz,
                       int32_t *rows, int32_t *cols, double *vals) {
     const char *p = buf, *end = buf + len;
-    /* Powers of ten for fixed-point fraction accumulation. */
-    static const double neg_pow10[19] = {
-        1e0,  1e-1, 1e-2,  1e-3,  1e-4,  1e-5,  1e-6,  1e-7,  1e-8, 1e-9,
-        1e-10, 1e-11, 1e-12, 1e-13, 1e-14, 1e-15, 1e-16, 1e-17, 1e-18};
+    /* Exact powers of ten (and their rounded reciprocals) for the
+     * correctly-rounded fraction reconstruction below. 10^n is exactly
+     * representable in double up to 10^22; reciprocals are RN(1/d). */
+    static const double pow10_d[16] = {
+        1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7,
+        1e8, 1e9, 1e10, 1e11, 1e12, 1e13, 1e14, 1e15};
+    static const uint64_t pow10_u[16] = {
+        1ULL, 10ULL, 100ULL, 1000ULL, 10000ULL, 100000ULL, 1000000ULL,
+        10000000ULL, 100000000ULL, 1000000000ULL, 10000000000ULL,
+        100000000000ULL, 1000000000000ULL, 10000000000000ULL,
+        100000000000000ULL, 1000000000000000ULL};
+    static const double recip10_d[16] = {
+        1e0, 1e-1, 1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-7,
+        1e-8, 1e-9, 1e-10, 1e-11, 1e-12, 1e-13, 1e-14, 1e-15};
     for (long n = 0; n < nnz; ++n) {
         long r = 0, c = 0;
         /* skip whitespace */
@@ -53,14 +63,28 @@ long rs_parse_entries(const char *buf, long len, long nnz,
             ++p;
             uint64_t fp = 0;
             int nd = 0;
-            while (p < end && *p >= '0' && *p <= '9' && nd < 18) {
+            while (p < end && *p >= '0' && *p <= '9' && nd < 15) {
                 fp = fp * 10 + (uint64_t)(*p++ - '0');
                 ++nd;
             }
-            /* overly long fractions: ignore the tail digits (they are
-             * below double precision for the magnitudes involved) */
-            while (p < end && *p >= '0' && *p <= '9') ++p;
-            v += (double)fp * neg_pow10[nd];
+            if (p < end && *p >= '0' && *p <= '9')
+                return -(n + 1); /* >15 fraction digits: strtod fallback */
+            /* Correctly-rounded value, matching strtod/%lf bit-for-bit:
+             * build the exact integer ip*10^nd + fp (must fit 2^53 so
+             * its double conversion is exact) and divide by the exact
+             * power of ten.  The division itself uses the same
+             * FMA-corrected Newton sequence as rs_glibc_rand01 (one
+             * rounding, identical to the hardware divide), because FP
+             * division is ~2000 cycles on the target VM. */
+            if (ip > (9007199254740992ULL - fp) / pow10_u[nd])
+                return -(n + 1); /* numerator would exceed 2^53 */
+            {
+                double num = (double)(ip * pow10_u[nd] + fp); /* exact */
+                double d = pow10_d[nd], c = recip10_d[nd];  /* c == RN(1/d) */
+                double y0 = num * c;
+                double r = fma(-y0, d, num);
+                v = fma(r, c, y0);
+            }
         }
         if (p < end && (*p == 'e' || *p == 'E')) return -(n + 1); /* fallback */
         rows[n] = (int32_t)r;
@@ -166,8 +190,10 @@ long rs_format_entries(long nnz, const int32_t *rows, const int32_t *cols,
         *q++ = ' ';
         double v = vals[n];
         if (v < 0) { *q++ = '-'; v = -v; }
-        /* scale to micro-units with printf-style rounding */
-        uint64_t u = (uint64_t)(v * 1e6 + 0.5);
+        /* scale to micro-units; nearbyint = round-half-even, matching
+         * the numpy fallback writer's %.6f on ties (the scaling multiply
+         * itself rounds once, same as both paths' %.6f inputs) */
+        uint64_t u = (uint64_t)nearbyint(v * 1e6);
         uint64_t whole = u / 1000000, frac = u % 1000000;
         if (whole == 0) *q++ = '0';
         else {

@@ -237,8 +237,13 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     from recsys_tpu.io.writers import format_recommendations
 
     path = choose_path(spec, cfg)
-    if path == "pallas" and pallas_dense.resident_fits(
-        spec, strip=512 if spec.items * 8 > 4096 else 128
+    if (
+        path == "pallas"
+        and pallas_dense.resident_fits(spec, strip=512 if spec.items * 8 > 4096 else 128)
+        # Same implicit-mask gate as factorize(): an explicit path="pallas"
+        # on a spec with a zero-valued rating must raise there, not
+        # silently train with that entry masked out.
+        and pallas_dense.mask_is_implicit(spec)
     ):
         precision = "default" if cfg.dtype == "bfloat16" else "highest"
         top1 = _pallas_fused_top1(spec, precision)

@@ -23,9 +23,11 @@ _failed = False
 
 
 def _build() -> bool:
-    # -mfma lets the correctly-rounded software division in rs_glibc_rand01
-    # lower to vfmadd instead of a libm call; fall back without it.
-    for flags in (["-O3", "-mfma"], ["-O3"]):
+    # -march=native lets the correctly-rounded software division in
+    # rs_glibc_rand01 lower to vfmadd instead of a libm call, and (unlike
+    # a bare -mfma) only emits instructions the build host itself has, so
+    # the cached .so can never SIGILL on the machine that built it.
+    for flags in (["-O3", "-march=native"], ["-O3"]):
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(

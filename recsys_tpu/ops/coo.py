@@ -27,6 +27,20 @@ import numpy as np
 from recsys_tpu.config import ProblemSpec
 
 
+def require_row_major(spec: ProblemSpec) -> None:
+    """Validate the format invariant every sparse builder relies on:
+    entries strictly increasing in (row, col) — i.e. row-major sorted
+    with no duplicate cells.  Unsorted-but-parseable input would
+    otherwise build corrupt tables (negative slot indices wrapping via
+    fancy indexing) and train silently wrong."""
+    key = spec.rows.astype(np.int64) * spec.items + spec.cols
+    if key.size > 1 and not bool(np.all(np.diff(key) > 0)):
+        raise ValueError(
+            "entries must be row-major sorted with unique (row, col) cells "
+            "(the .in format invariant, reference util.c:29-34)"
+        )
+
+
 class CooData(NamedTuple):
     """Device-resident COO training data (all equal-length nnz arrays)."""
 
@@ -38,6 +52,7 @@ class CooData(NamedTuple):
 
 
 def make_coo_inputs(spec: ProblemSpec, dtype=jnp.float32) -> CooData:
+    require_row_major(spec)  # indices_are_sorted=True below depends on it
     perm = np.lexsort((spec.rows, spec.cols)).astype(np.int32)
     return CooData(
         rows=spec.rows.astype(np.int32),
@@ -62,6 +77,7 @@ class CooSegData(NamedTuple):
 
 
 def make_coo_seg_inputs(spec: ProblemSpec, dtype=np.float32) -> CooSegData:
+    require_row_major(spec)  # segment boundaries assume sorted entries
     perm = np.lexsort((spec.rows, spec.cols))
     rc = np.bincount(spec.rows, minlength=spec.users)
     cc = np.bincount(spec.cols, minlength=spec.items)

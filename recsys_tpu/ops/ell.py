@@ -85,6 +85,9 @@ def ell_fits(spec: ProblemSpec, max_overhead: float = 8.0, budget_bytes: int = 4
 
 def make_ell_inputs(spec: ProblemSpec, dtype=np.float32) -> EllData:
     """Host-side construction of the dual-ELL tables."""
+    from recsys_tpu.ops.coo import require_row_major
+
+    require_row_major(spec)  # slot_in_row below assumes sorted entries
     rc = np.bincount(spec.rows, minlength=spec.users)
     cc = np.bincount(spec.cols, minlength=spec.items)
     P = max(int(rc.max()), 1)

@@ -4,8 +4,8 @@ Two kernels replace the XLA dense path's per-iteration HBM round-trips
 (XLA materializes the masked error E = M ⊙ (A − L·Rᵀ) between its three
 matmuls; reference hot loop: ``matFact.c:41-53``):
 
-* **resident**: for instances whose dense A fits in VMEM (working sets
-  up to ~77 MB with the raised scoped-vmem limit — covers instML100k's
+* **resident**: for instances whose dense A fits in VMEM (estimated
+  working sets up to ``RESIDENT_VMEM_BUDGET`` — covers instML100k's
   7 MB up to 600×10240-sized matrices), the ENTIRE training loop runs
   inside one kernel — optionally with the masked top-1 scan fused in,
   making the whole problem a single ``pallas_call``. A stays

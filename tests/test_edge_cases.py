@@ -59,6 +59,42 @@ def test_zero_rating_disables_pallas_path():
     assert len(out.splitlines()) == 2
 
 
+def test_zero_rating_run_pallas_raises():
+    # run() with explicit path="pallas" must hit the same implicit-mask
+    # gate as factorize() — not silently train with the zero masked out
+    # (ADVICE r1, medium).
+    spec = _spec_all_rated_user()
+    spec = dataclasses.replace(spec, vals=spec.vals.copy())
+    spec.vals[3] = 0.0
+    with pytest.raises(ValueError, match="non-zero"):
+        trainer.run(spec, RunConfig(dtype="float32", path="pallas"))
+
+
+def test_unsorted_entries_rejected_by_sparse_builders():
+    # Sparse table builders assume row-major sorted entries; unsorted
+    # input must raise, not silently build corrupt tables (ADVICE r1).
+    spec = _spec_all_rated_user()
+    order = np.array([1, 0, 2, 3, 4, 5, 6])
+    spec = dataclasses.replace(
+        spec, rows=spec.rows[order], cols=spec.cols[order], vals=spec.vals[order]
+    )
+    from recsys_tpu.ops.coo import make_coo_inputs, make_coo_seg_inputs
+    from recsys_tpu.ops.ell import make_ell_inputs
+
+    for builder in (make_coo_inputs, make_coo_seg_inputs, make_ell_inputs):
+        with pytest.raises(ValueError, match="row-major"):
+            builder(spec)
+    # duplicate cells are invalid too
+    dup = dataclasses.replace(
+        spec,
+        rows=np.array([0, 0], np.int32),
+        cols=np.array([1, 1], np.int32),
+        vals=np.array([1.0, 2.0]),
+    )
+    with pytest.raises(ValueError, match="row-major"):
+        make_coo_seg_inputs(dup)
+
+
 def test_empty_instance_runs():
     spec = ProblemSpec(
         iters=2, alpha=0.01, features=2, users=3, items=4,

@@ -50,6 +50,49 @@ def test_native_parse_matches_numpy(name):
     np.testing.assert_array_equal(nat.vals, ref.vals)
 
 
+def test_native_parse_correctly_rounded_adversarial():
+    # The fraction reconstruction must match strtod/%lf bit-for-bit
+    # (ADVICE r1: the old 1e-nd multiply-add double-rounded).  Stress it
+    # with random many-digit decimals plus known hard cases.
+    rng = np.random.default_rng(7)
+    lines = []
+    values = []
+    hard = [
+        "0.1", "0.3", "2.675", "4.999999", "0.000001", "123456.789012",
+        "0.123456789012345", "1.000000000000001",
+        "5.000000000000001", "0.299999999999999", "3.141592653589793",
+    ]
+    for i, h in enumerate(hard):
+        lines.append(f"{i} {i} {h}")
+        values.append(float(h))
+    for i in range(5000):
+        nd = int(rng.integers(1, 16))
+        # keep the exact numerator ip*10^nd + fp under 2^53 (beyond it
+        # the parser correctly signals the strtod fallback)
+        ip_max = max(1, (2**53 - 10**nd) // 10**nd)
+        ip = int(rng.integers(0, min(ip_max, 10**6)))
+        fp = int(rng.integers(0, 10**nd))
+        s = f"{ip}.{fp:0{nd}d}"
+        lines.append(f"{i} {i} {s}")
+        values.append(float(s))
+    body = ("\n".join(lines) + "\n").encode()
+    parsed = _native.parse_entries(body, len(lines))
+    assert parsed is not None
+    _, _, vals = parsed
+    ref = np.array(values, dtype=np.float64)
+    # bit-exact, not just close
+    np.testing.assert_array_equal(vals, ref)
+
+
+def test_native_parse_overlong_fraction_falls_back():
+    # >15 fraction digits or a 2^53-breaching numerator must signal the
+    # strtod fallback instead of parsing inexactly.
+    body = b"0 0 0.1234567890123456789\n"
+    assert _native.parse_entries(body, 1) is None
+    body = b"0 0 123456789012.123456\n"  # numerator 1.2e17 > 2^53
+    assert _native.parse_entries(body, 1) is None
+
+
 def test_load_problem_uses_native(tmp_path):
     # load_problem routes through the native parser when available and
     # produces the same spec as the pure-numpy path.
