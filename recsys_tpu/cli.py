@@ -28,7 +28,7 @@ def _add_common(p):
         help="print dataset/config info to stderr (print_dataset_info analogue)",
     )
     p.add_argument("--dtype", default=None, help="float32|float64|bfloat16 (default: f32 on TPU, f64 on CPU)")
-    p.add_argument("--path", default="auto", choices=["auto", "dense", "ell", "coo", "pallas"])
+    p.add_argument("--path", default="auto", choices=["auto", "dense", "bell", "coo", "pallas"])
     p.add_argument("--mesh", default=None, help="RxC mesh override, e.g. 4x2 (multi-device)")
     p.add_argument("--block-items", type=int, default=4096)
     p.add_argument("--no-time", action="store_true", help="suppress the trailing time line")

@@ -68,7 +68,7 @@ class RunConfig:
     """
 
     dtype: str = "float32"  # compute dtype: float32 | float64 | bfloat16
-    path: str = "auto"  # auto | dense | ell | coo | pallas
+    path: str = "auto"  # auto | dense | bell | coo | pallas
     mesh_shape: Optional[tuple] = None  # (users_axis, items_axis) override
     donate: bool = True
     block_items: int = 4096  # item-block size for the streaming top-1

@@ -14,10 +14,12 @@ Path selection generalizes the reference's reduce-side heuristic
   f32/bf16 on TPU with all-non-zero ratings.
 * ``dense``   — XLA masked-matmul form, any dtype; the exact-f64
   conformance mode.
-* ``coo``     — sparse instances: prefix-sum segment reduction for
-  speed dtypes (scatter-free), scatter form for exact f64 and
-  hyper-sparse huge-dimension shapes.
-* ``ell``     — dual-ELL padded-table einsum form (explicit option).
+* ``bell``    — degree-sorted bucketed-ELL (ops/bell.py): the sparse
+  fast path for every dtype, including exact f64 and the hyper-sparse
+  huge-dimension shapes (no scatter program is ever compiled).
+* ``coo``     — COO segment reductions (prefix-sum for speed dtypes,
+  scatter for f64); kept as an explicit option and as the form the
+  sharded/multi-host engine distributes.
 """
 
 from __future__ import annotations
@@ -39,35 +41,52 @@ from recsys_tpu.ops.coo import (
     make_coo_inputs,
     make_coo_seg_inputs,
 )
+from recsys_tpu.ops.bell import (
+    BellMeta,
+    BellTables,
+    bell_gd_step,
+    bell_slot_ratio,
+    make_bell_inputs,
+    pad_factors_for_bell,
+    unpermute_factors,
+)
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
-from recsys_tpu.ops.ell import EllData, ell_gd_step, ell_slots, make_ell_inputs
 from recsys_tpu.ops.topk import make_mask_blocks, pad_items, top1_blocked
 
 # Dense A + M byte budget before switching to the COO formulation.
 DENSE_BUDGET_BYTES = 2 << 30
 
 
+# Speed-dtype crossover between the dense Pallas kernels and BELL, in
+# dense-cells per padded BELL slot.  Calibrated on the fixture set
+# (BENCHMARKS.md): inst600-10000 (ratio ~10) still wins on the tiled
+# MXU kernel; inst400-50000 (ratio ~34) and inst50000-5000 (~356) win
+# on BELL.
+DENSE_BELL_CROSSOVER = 16
+# Exact-f64 has no MXU kernels (XLA dense masked-matmul only, software
+# f64), so the sparse form pays off almost immediately.
+DENSE_BELL_CROSSOVER_F64 = 2
+
+
 def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
     if cfg.path != "auto":
         return cfg.path
+    if spec.nnz == 0:
+        return "dense"
     itemsize = jnp.dtype(cfg.dtype).itemsize
     dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES
-    # Work comparison: dense touches users*items cells per iteration,
-    # the sparse paths touch ~nnz (times padding/scatter overheads). For
-    # very sparse instances (inst50000-5000: 0.07% density) sparse does
-    # orders of magnitude less work than any dense formulation; for
-    # dense-ish ones (instML100k: 6.3%) the fused dense kernels win.
-    # Among the sparse formulations, the prefix-sum COO step measures
-    # fastest on TPU (ELL pays ~2x more row-gathers; scatter-add COO
-    # pays the serial scatter rate), so auto picks "coo" and the engine
-    # selects the cumsum variant for speed dtypes internally.
-    # Crossover measured on the fixture set: inst400-50000 (ratio ~23)
-    # runs 1.6x faster on the tiled Pallas path than on COO, while
-    # inst50000-5000 (ratio ~420) is 10x faster on COO.
-    if spec.nnz and spec.users * spec.items > 32 * ell_slots(spec):
-        return "coo"
-    if not dense_fits:
-        return "coo"
+    # Work comparison: dense touches users*items cells per iteration on
+    # the MXU; BELL touches ~2*nnz padded slots per iteration at gather
+    # bandwidth.  The crossover is dtype-aware: exact f64 has no MXU
+    # path, so its dense form is ~an order of magnitude more expensive
+    # per cell and the sparse form takes over much earlier.
+    cells = spec.users * spec.items
+    slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
+    crossover = (
+        DENSE_BELL_CROSSOVER_F64 if cfg.dtype == "float64" else DENSE_BELL_CROSSOVER
+    )
+    if cells > crossover * slots or not dense_fits:
+        return "bell"
     # The fused Pallas kernels are the fastest dense path on TPU; they
     # need f32 compute and a recoverable mask (all ratings non-zero).
     if (
@@ -87,10 +106,10 @@ def _train_dense(L, R, A, M, alpha2, iters):
     return jax.lax.fori_loop(0, iters, body, (L, R))
 
 
-@partial(jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
-def _train_ell(L, R, data: EllData, alpha2, iters):
+@partial(jax.jit, static_argnames=("iters", "meta"), donate_argnums=(0, 1))
+def _train_bell(L, R, tables: BellTables, alpha2, iters, meta: BellMeta):
     def body(_, c):
-        return ell_gd_step(c[0], c[1], data, alpha2)
+        return bell_gd_step(c[0], c[1], tables, alpha2, meta)
 
     return jax.lax.fori_loop(0, iters, body, (L, R))
 
@@ -146,9 +165,15 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     if path == "dense":
         A, M = make_dense_inputs(spec, dtype=dt)
         L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
-    elif path == "ell":
-        data = jax.tree.map(jnp.asarray, make_ell_inputs(spec, dtype=dt))
-        L, R = _train_ell(L0, R0, data, alpha2, spec.iters)
+    elif path == "bell":
+        data = make_bell_inputs(spec, dtype=dt)
+        Lp, Rp = pad_factors_for_bell(state, data, dt)
+        tables = jax.tree.map(jnp.asarray, data.tables)
+        Lp, Rp = _train_bell(
+            jnp.asarray(Lp), jnp.asarray(Rp), tables, alpha2, spec.iters, data.meta
+        )
+        Lh, Rh = unpermute_factors(Lp, Rp, data)
+        return MFState(L=Lh, R=Rh)
     elif path == "coo":
         # Speed dtypes trade the scatter-add segment reduction for the
         # prefix-sum form (exact f64 keeps the cancellation-free scatter).

@@ -1,3 +1,4 @@
+from recsys_tpu.ops.bell import bell_gd_step, make_bell_inputs
 from recsys_tpu.ops.coo import (
     coo_gd_step,
     coo_gd_step_cumsum,
@@ -5,7 +6,6 @@ from recsys_tpu.ops.coo import (
     make_coo_seg_inputs,
 )
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
-from recsys_tpu.ops.ell import ell_gd_step, make_ell_inputs
 from recsys_tpu.ops.topk import top1_blocked
 
 __all__ = [
@@ -15,7 +15,7 @@ __all__ = [
     "coo_gd_step_cumsum",
     "make_coo_inputs",
     "make_coo_seg_inputs",
-    "ell_gd_step",
-    "make_ell_inputs",
+    "bell_gd_step",
+    "make_bell_inputs",
     "top1_blocked",
 ]

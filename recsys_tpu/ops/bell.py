@@ -1,0 +1,266 @@
+"""BELL — degree-sorted bucketed-ELL GD step, the fast sparse path.
+
+The round-1 sparse formulations all paid one of two TPU taxes (measured,
+docs/DESIGN.md §3): the near-serial scatter-add behind ``segment_sum``
+(~70 M rows/s), or — for the scatter-free prefix-sum variant — ~20
+log-scan passes over (nnz, k) arrays whose k≪128 lane dimension is
+physically padded to 128 (an ~84% bandwidth tax at k=20).  BELL removes
+both:
+
+* **Degree-sorted bucketing.** Users (and, independently, items) are
+  permuted by descending entry count and grouped into contiguous
+  buckets whose width is the power-of-2 ceiling of the widest member.
+  Real data is near-uniform in degree, so total padded slots ≈ nnz
+  (inst50000-5000: 175,744 slots vs 175,573 entries, +0.1%) — the
+  ELLPACK max-width blowup (5.9x there) is gone.
+
+* **Transposed (w, n) tables.** Per-slot arrays are stored width-major,
+  so their minor dimension is the (large) user/item count and nothing
+  pays the 128-lane padding tax.  The only k-minor arrays are the
+  factor tables themselves and the gathered (w, n, k) row sets — and
+  those gathers feed *directly* into reductions, the one gather shape
+  the TPU runs at full bandwidth (fused ~1 G rows/s vs ~70 M
+  materialized; DESIGN.md §3 finding 2).
+
+* **Two independent ownership passes, no cross-talk.** Each side
+  recomputes the entry error from its own tables::
+
+      dL side:  Rg = R[cols]   err = 2α(vals − Σ_k L·Rg)   ΔL = Σ_w err·Rg
+      dR side:  Lg = L[rows']  err'= 2α(vals'− Σ_k R·Lg)   ΔR = Σ_q err'·Lg
+
+  which is bit-identical per entry (same ⟨L[u],R[i]⟩ reduction) and
+  eliminates the flat-error cross-reference gather of the dual-ELL
+  design.  This is the TPU restatement of the reference's
+  ownership-sorted reduction backend (``matFact-omp.c:42-124``): both
+  sides reduce over entries they own, sorted so owners are contiguous.
+
+* **Self-masking padding, no valid masks.** Padding slots carry val = 0
+  and index a dedicated all-zero factor row (appended at position
+  ``users``/``items``), so pred = 0, err = 0, contribution = +0.0.
+
+* **Prefix-only updates.** In degree-sorted order every zero-degree
+  row/column sits at the tail; gradients exist only for the leading
+  ``n_nz`` rows and are applied with one ``dynamic_update_slice``.  For
+  hyper-sparse huge-dimension instances (the reference's cluster runs:
+  1000×1,000,000 with 2014 entries, ``report-mpi.pdf`` Table 1) an
+  iteration therefore touches O(nnz·k) cells — not O(items·k) — and no
+  giant scatter program is ever compiled (XLA's TPU scatter compile
+  time scales with update count: >9 min at 1M updates).
+
+Reference semantics preserved: gradients read the pre-step factors
+(``matFact.c:38-39``); full-batch additive accumulation; per-row
+accumulation order is entry order (columns ascending).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_tpu.config import ProblemSpec
+
+
+class BellSide(NamedTuple):
+    """Static metadata for one side's buckets (hashable, shape-defining)."""
+
+    bounds: tuple[tuple[int, int, int], ...]  # (start, stop, width) per bucket
+    n_nz: int  # rows with >= 1 entry (all updates land in [0, n_nz))
+    size: int  # true dimension (users or items)
+
+
+class BellMeta(NamedTuple):
+    user: BellSide
+    item: BellSide
+    features: int
+    nnz: int
+    slots: int  # total padded slots, both sides (the per-k work unit)
+
+
+class BellTables(NamedTuple):
+    """Device-resident tables.  Each tuple has one (w_b, n_b) array per
+    bucket; ``u*``/``i*`` index into *permuted* item/user space, with
+    padding slots pointing at the appended zero row (index = size)."""
+
+    ucols: tuple[jnp.ndarray, ...]  # int32 (w, n): item index per slot
+    uvals: tuple[jnp.ndarray, ...]  # dtype (w, n): rating (0 = pad)
+    irows: tuple[jnp.ndarray, ...]  # int32 (q, m): user index per slot
+    ivals: tuple[jnp.ndarray, ...]  # dtype (q, m)
+
+
+class BellData(NamedTuple):
+    meta: BellMeta
+    tables: BellTables
+    user_perm: np.ndarray  # original user id at permuted position p
+    item_perm: np.ndarray
+    inv_user_perm: np.ndarray  # permuted position of original user u
+    inv_item_perm: np.ndarray
+
+
+def _pow2_buckets(counts_sorted: np.ndarray) -> list[tuple[int, int, int]]:
+    """Contiguous (start, stop, width) buckets over a non-increasing
+    degree sequence: one bucket per power-of-2 width class."""
+    out: list[tuple[int, int, int]] = []
+    n = len(counts_sorted)
+    start = 0
+    while start < n and counts_sorted[start] > 0:
+        w = int(counts_sorted[start])
+        cap = 1 << (w - 1).bit_length()  # pow2 ceiling
+        lo = cap // 2  # members strictly above lo belong here
+        stop = int(np.searchsorted(-counts_sorted, -lo, side="left"))
+        out.append((start, stop, w))  # width = max in bucket (= first)
+        start = stop
+    return out
+
+
+def _degree_perm(coords: np.ndarray, dim: int):
+    """(perm, inv): stable sort of 0..dim-1 by descending entry count."""
+    counts = np.bincount(coords, minlength=dim)
+    perm = np.argsort(-counts, kind="stable").astype(np.int32)
+    inv = np.empty(dim, np.int32)
+    inv[perm] = np.arange(dim, dtype=np.int32)
+    return counts, perm, inv
+
+
+def _side_tables(counts: np.ndarray, perm: np.ndarray, inv: np.ndarray,
+                 other_dim: int, own: np.ndarray, other: np.ndarray,
+                 vals: np.ndarray, inv_other: np.ndarray, dtype):
+    """Build one side's (bounds, n_nz, cols-tables, vals-tables).
+
+    ``own`` are this side's entry coordinates (grouping key), ``other``
+    the opposite coordinates (mapped through ``inv_other`` into permuted
+    space; padding slots get index ``other_dim``, the zero row).
+    """
+    dim = len(counts)
+    sorted_counts = counts[perm]
+    bounds = _pow2_buckets(sorted_counts)
+    n_nz = bounds[-1][1] if bounds else 0
+
+    # entries sorted by (permuted own, original other-order) — the
+    # within-row order stays the file's ascending-column order because
+    # the sort below is stable over an already row-major stream.
+    own_p = inv[own]
+    order = np.argsort(own_p, kind="stable")
+    own_s = own_p[order]
+    other_s = inv_other[other[order]]
+    vals_s = vals[order]
+    starts = np.zeros(dim + 1, np.int64)
+    np.cumsum(counts[perm], out=starts[1:])
+    slot = np.arange(len(own_s), dtype=np.int64) - starts[own_s]
+
+    cols_t: list[np.ndarray] = []
+    vals_t: list[np.ndarray] = []
+    for (b0, b1, w) in bounds:
+        nb = b1 - b0
+        ct = np.full((w, nb), other_dim, np.int32)  # pad -> zero row
+        vt = np.zeros((w, nb), dtype)
+        sel = (own_s >= b0) & (own_s < b1)
+        ct[slot[sel], own_s[sel] - b0] = other_s[sel]
+        vt[slot[sel], own_s[sel] - b0] = vals_s[sel].astype(dtype)
+        cols_t.append(ct)
+        vals_t.append(vt)
+    return tuple(bounds), n_nz, tuple(cols_t), tuple(vals_t)
+
+
+def make_bell_inputs(spec: ProblemSpec, dtype=np.float32) -> BellData:
+    from recsys_tpu.ops.coo import require_row_major
+
+    require_row_major(spec)
+    ucounts, uperm, uinv = _degree_perm(spec.rows, spec.users)
+    icounts, iperm, iinv = _degree_perm(spec.cols, spec.items)
+
+    ubounds, u_nz, ucols, uvals = _side_tables(
+        ucounts, uperm, uinv, spec.items, spec.rows, spec.cols, spec.vals, iinv, dtype
+    )
+    ibounds, i_nz, irows, ivals = _side_tables(
+        icounts, iperm, iinv, spec.users, spec.cols, spec.rows, spec.vals, uinv, dtype
+    )
+    slots = sum(w * (b1 - b0) for (b0, b1, w) in ubounds)
+    slots += sum(w * (b1 - b0) for (b0, b1, w) in ibounds)
+    meta = BellMeta(
+        user=BellSide(bounds=ubounds, n_nz=u_nz, size=spec.users),
+        item=BellSide(bounds=ibounds, n_nz=i_nz, size=spec.items),
+        features=spec.features,
+        nnz=spec.nnz,
+        slots=slots,
+    )
+    tables = BellTables(ucols=ucols, uvals=uvals, irows=irows, ivals=ivals)
+    return BellData(
+        meta=meta, tables=tables,
+        user_perm=uperm, item_perm=iperm,
+        inv_user_perm=uinv, inv_item_perm=iinv,
+    )
+
+
+def bell_slot_ratio(spec: ProblemSpec) -> float:
+    """Padded-slot overhead of the BELL format (1.0 = no padding): the
+    degree-bucketed analogue of ``ell_ratios``, used by path selection."""
+    if spec.nnz == 0:
+        return float("inf")
+    total = 0
+    for coords, dim in ((spec.rows, spec.users), (spec.cols, spec.items)):
+        counts = np.bincount(coords, minlength=dim)
+        sc = np.sort(counts)[::-1]
+        total += sum(w * (b1 - b0) for (b0, b1, w) in _pow2_buckets(sc))
+    return total / (2.0 * spec.nnz)
+
+
+def _delta_side(F_own, F_other, cols_t, vals_t, bounds, alpha2):
+    """Per-bucket gradient halves for one side.
+
+    For each bucket (rows [b0, b1) of the degree-sorted own-side factor
+    table ``F_own``): gather the opposite factors, recompute the entry
+    error, reduce over the width axis.  Returns the (n_nz, k) gradient
+    for the nonzero-degree prefix.
+    """
+    parts = []
+    for (b0, b1, _w), cols, vals in zip(bounds, cols_t, vals_t):
+        fo = jax.lax.slice_in_dim(F_own, b0, b1, axis=0)  # (n, k)
+        g = F_other[cols]  # (w, n, k) gather — fused into both reduces
+        pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
+        err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
+        parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
+    if not parts:
+        return None
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def bell_gd_step(L, R, tables: BellTables, alpha2, meta: BellMeta):
+    """One full-batch GD step in BELL form.
+
+    L: (users+1, k), R: (items+1, k) in *degree-permuted* order with the
+    appended all-zero padding row last; returns updated (L, R) with the
+    zero rows untouched (no gradient ever addresses them).
+    """
+    dL = _delta_side(L, R, tables.ucols, tables.uvals, meta.user.bounds, alpha2)
+    dR = _delta_side(R, L, tables.irows, tables.ivals, meta.item.bounds, alpha2)
+    if dL is not None:
+        L = jax.lax.dynamic_update_slice(
+            L, jax.lax.slice_in_dim(L, 0, meta.user.n_nz, axis=0) + dL, (0, 0)
+        )
+    if dR is not None:
+        R = jax.lax.dynamic_update_slice(
+            R, jax.lax.slice_in_dim(R, 0, meta.item.n_nz, axis=0) + dR, (0, 0)
+        )
+    return L, R
+
+
+def pad_factors_for_bell(state, data: BellData, dtype):
+    """Host-side: permute the serial-draw-order factors into degree
+    order and append the zero padding row each side's gathers use."""
+    k = state.L.shape[1]
+    L = np.zeros((data.meta.user.size + 1, k), dtype)
+    L[:-1] = state.L[data.user_perm].astype(dtype)
+    R = np.zeros((data.meta.item.size + 1, k), dtype)
+    R[:-1] = state.R[data.item_perm].astype(dtype)
+    return L, R
+
+
+def unpermute_factors(L, R, data: BellData):
+    """Back to original row order, dropping the padding rows."""
+    return (
+        np.asarray(L)[:-1][data.inv_user_perm],
+        np.asarray(R)[:-1][data.inv_item_perm],
+    )

@@ -1,0 +1,130 @@
+"""BELL (degree-sorted bucketed-ELL) sparse path vs oracle/dense/goldens."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from recsys_tpu.config import ProblemSpec, RunConfig
+from recsys_tpu.engine import trainer
+from recsys_tpu.engine.oracle import factorize_numpy
+from recsys_tpu.io.generator import generate_instance
+from recsys_tpu.io.parser import load_problem
+from recsys_tpu.ops.bell import (
+    bell_slot_ratio,
+    make_bell_inputs,
+    pad_factors_for_bell,
+    unpermute_factors,
+)
+
+from helpers import FIXTURES
+
+
+@pytest.fixture(scope="module")
+def sparse_spec():
+    # 2-5 entries per row over 200 items: the inst50000-5000 shape in miniature.
+    return generate_instance(60, 200, 8, 2, 5, iters=10, alpha=0.01, seed=9)
+
+
+def test_bell_tables_cover_every_entry(sparse_spec):
+    d = make_bell_inputs(sparse_spec, np.float64)
+    # Buckets tile [0, n_nz) on both sides with non-increasing widths.
+    for side in (d.meta.user, d.meta.item):
+        stops = [0] + [b1 for (_, b1, _) in side.bounds]
+        starts = [b0 for (b0, _, _) in side.bounds] + [side.n_nz]
+        assert stops == starts
+        widths = [w for (_, _, w) in side.bounds]
+        assert widths == sorted(widths, reverse=True)
+    # Every entry value appears exactly once per side; padding is zero.
+    total_u = sum(float(v.sum()) for v in d.tables.uvals)
+    total_i = sum(float(v.sum()) for v in d.tables.ivals)
+    assert total_u == pytest.approx(float(sparse_spec.vals.sum()))
+    assert total_i == pytest.approx(float(sparse_spec.vals.sum()))
+    nz_u = sum(int((v != 0).sum()) for v in d.tables.uvals)
+    assert nz_u == sparse_spec.nnz
+    # Padding slots index the appended zero row.
+    for cols in d.tables.ucols:
+        assert cols.max() <= sparse_spec.items
+    for rows in d.tables.irows:
+        assert rows.max() <= sparse_spec.users
+
+
+def test_bell_matches_oracle(sparse_spec):
+    ref, _ = factorize_numpy(sparse_spec)
+    st = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+    np.testing.assert_allclose(np.asarray(st.L), ref.L, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(st.R), ref.R, rtol=1e-12, atol=1e-14)
+
+
+def test_bell_equals_dense_path_f32(sparse_spec):
+    st_b = trainer.factorize(sparse_spec, RunConfig(dtype="float32", path="bell"))
+    st_d = trainer.factorize(sparse_spec, RunConfig(dtype="float32", path="dense"))
+    np.testing.assert_allclose(np.asarray(st_b.L), np.asarray(st_d.L), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(st_b.R), np.asarray(st_d.R), rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("inst", ["inst30-40-10-2-10", "inst500-500-20-2-100"])
+def test_bell_golden(inst):
+    spec = load_problem(str(FIXTURES / f"{inst}.in"))
+    out, _ = trainer.run(spec, RunConfig(dtype="float64", path="bell"))
+    golden = open(FIXTURES / f"{inst}.out").read()
+    assert out == golden
+
+
+def test_bell_permutation_roundtrip(sparse_spec):
+    from recsys_tpu.models.mf import init_factors
+
+    d = make_bell_inputs(sparse_spec, np.float64)
+    state = init_factors(sparse_spec.users, sparse_spec.items, sparse_spec.features)
+    L, R = pad_factors_for_bell(state, d, np.float64)
+    assert np.all(L[-1] == 0) and np.all(R[-1] == 0)
+    Lo, Ro = unpermute_factors(L, R, d)
+    np.testing.assert_array_equal(Lo, state.L)
+    np.testing.assert_array_equal(Ro, state.R)
+
+
+def test_bell_huge_dimension_hyper_sparse():
+    # The inst1000-1e6 shape in miniature: items >> nnz, so most item
+    # rows have degree zero and must never move.
+    spec = generate_instance(50, 5000, 3, 1, 2, iters=4, alpha=0.001, seed=4)
+    ref, _ = factorize_numpy(spec)
+    st = trainer.factorize(spec, RunConfig(dtype="float64", path="bell"))
+    np.testing.assert_allclose(np.asarray(st.L), ref.L, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(st.R), ref.R, rtol=1e-12, atol=1e-14)
+    # Untouched items keep their exact init values.
+    from recsys_tpu.models.mf import init_factors
+
+    rated = np.zeros(spec.items, bool)
+    rated[spec.cols] = True
+    init = init_factors(spec.users, spec.items, spec.features)
+    np.testing.assert_array_equal(np.asarray(st.R)[~rated], init.R[~rated])
+
+
+def test_bell_power_law_degrees():
+    # Skewed degrees exercise multi-width bucketing on both sides.
+    rng = np.random.default_rng(0)
+    users, items = 64, 48
+    cells = [(u, i) for u in range(users) for i in range(items)
+             if rng.random() < (0.8 / (1 + u)) + (0.4 / (1 + i))]
+    rows = np.array([c[0] for c in cells], np.int32)
+    cols = np.array([c[1] for c in cells], np.int32)
+    vals = rng.uniform(1, 5, len(cells))
+    spec = ProblemSpec(iters=6, alpha=0.005, features=5, users=users,
+                       items=items, rows=rows, cols=cols, vals=vals)
+    assert bell_slot_ratio(spec) < 2.0
+    ref, _ = factorize_numpy(spec)
+    st = trainer.factorize(spec, RunConfig(dtype="float64", path="bell"))
+    np.testing.assert_allclose(np.asarray(st.L), ref.L, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.R), ref.R, rtol=1e-12, atol=1e-13)
+
+
+def test_choose_path_dtype_aware():
+    # Sparse instance: f64 switches to BELL well before the speed dtypes.
+    spec = generate_instance(2000, 2000, 4, 2, 4, iters=1, alpha=0.01, seed=2)
+    assert trainer.choose_path(spec, RunConfig(dtype="float32")) == "bell"
+    assert trainer.choose_path(spec, RunConfig(dtype="float64")) == "bell"
+    # Dense-ish instance: speed dtypes stay on the dense kernels, exact
+    # f64 still prefers the sparse form once cells >> slots.
+    ml = load_problem(str(FIXTURES / "instML100k.in"))
+    assert trainer.choose_path(ml, RunConfig(dtype="float64")) == "bell"
+    assert trainer.choose_path(ml, RunConfig(dtype="float32")) in ("pallas", "dense")

@@ -33,7 +33,7 @@ def test_all_rated_user_omitted_from_output():
 
 def test_all_rated_user_omitted_jax_paths():
     spec = _spec_all_rated_user()
-    for path in ("dense", "ell", "coo"):
+    for path in ("dense", "bell", "coo"):
         out, top1 = trainer.run(spec, RunConfig(dtype="float64", path=path))
         assert len(out.splitlines()) == 2, path
         assert len(top1) == 3  # raw indices still computed for all users
@@ -78,10 +78,10 @@ def test_unsorted_entries_rejected_by_sparse_builders():
     spec = dataclasses.replace(
         spec, rows=spec.rows[order], cols=spec.cols[order], vals=spec.vals[order]
     )
+    from recsys_tpu.ops.bell import make_bell_inputs
     from recsys_tpu.ops.coo import make_coo_inputs, make_coo_seg_inputs
-    from recsys_tpu.ops.ell import make_ell_inputs
 
-    for builder in (make_coo_inputs, make_coo_seg_inputs, make_ell_inputs):
+    for builder in (make_coo_inputs, make_coo_seg_inputs, make_bell_inputs):
         with pytest.raises(ValueError, match="row-major"):
             builder(spec)
     # duplicate cells are invalid too
