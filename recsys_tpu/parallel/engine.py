@@ -45,10 +45,21 @@ def factorize_sharded(
     cfg: RunConfig = RunConfig(),
     state: MFState | None = None,
     mesh=None,
+    putter=None,
 ) -> tuple[MFState, "jax.sharding.Mesh"]:
-    """Train over the 2-D mesh; returns (padded sharded factors, mesh)."""
+    """Train over the 2-D mesh; returns (padded sharded factors, mesh).
+
+    ``putter(global_np, sharding)`` places a host array onto the mesh;
+    the default ``jax.device_put`` covers the single-process case, and
+    the multi-host layer passes a per-process block uploader so every
+    path here — dense, Pallas-dense, and both COO forms — works
+    unchanged across processes (the reference needed ~330 lines of
+    streamed sends for the same routing, ``matFact-mpi.c:220-457``).
+    """
     from recsys_tpu.ops.pallas_dense import mask_is_implicit
 
+    if putter is None:
+        putter = jax.device_put
     dt = jnp.dtype(cfg.dtype)
     if mesh is None:
         mesh = make_mesh(spec.users, spec.items, shape=cfg.mesh_shape)
@@ -64,7 +75,7 @@ def factorize_sharded(
         # Multi-chip form of the fused Pallas dense path: per-shard
         # tiled-kernel deltas + the two axis psums.
         precision = "default" if cfg.dtype == "bfloat16" else "highest"
-        return _factorize_sharded_pallas(spec, mesh, state, precision), mesh
+        return _factorize_sharded_pallas(spec, mesh, state, precision, putter), mesh
 
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
@@ -73,34 +84,34 @@ def factorize_sharded(
     )
     sL = NamedSharding(mesh, P(AXIS_USERS, None))
     sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
-    L0 = jax.device_put(L0, sL)
-    R0 = jax.device_put(R0, sR)
+    L0 = putter(L0, sL)
+    R0 = putter(R0, sR)
     alpha2 = dt.type(2.0 * spec.alpha)
 
     if path == "dense":
         A, M = shp.dense_blocks(spec, pu, pi, dtype=dt)
         sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
         train = make_dense_train(mesh, alpha2, spec.iters)
-        L, R = train(L0, R0, jax.device_put(A, sAM), jax.device_put(M, sAM))
+        L, R = train(L0, R0, putter(A, sAM), putter(M, sAM))
     elif cfg.dtype in ("float32", "bfloat16") and spec.nnz >= spec.users + spec.items:
         # Speed dtypes: scatter-free prefix-sum form (see ops/coo.py);
         # hyper-sparse huge-dimension instances keep scatter (nnz gate,
         # same reasoning as the single-chip engine).
         shards, u_blk, i_blk = shp.bucket_coo_seg(spec, pu, pi, dtype=dt)
         sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
-        dev = [jax.device_put(np.asarray(x), sE) for x in shards]
+        dev = [putter(np.asarray(x), sE) for x in shards]
         train = make_coo_seg_train(mesh, alpha2, spec.iters, u_blk, i_blk)
         L, R = train(L0, R0, *dev)
     else:
         shards, u_blk, i_blk = shp.bucket_coo(spec, pu, pi, dtype=dt)
         sE = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
-        dev = [jax.device_put(np.asarray(x), sE) for x in shards]
+        dev = [putter(np.asarray(x), sE) for x in shards]
         train = make_coo_train(mesh, alpha2, spec.iters, u_blk, i_blk)
         L, R = train(L0, R0, *dev)
     return MFState(L=L, R=R), mesh
 
 
-def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, precision: str) -> MFState:
+def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, precision: str, putter=jax.device_put) -> MFState:
     """Per-shard Pallas tiled deltas + axis psums. Pads users/items so
     each shard's block is a tile multiple; k to the 128-lane tile.
     Traced under enable_x64(False) — the kernels are all-f32/i32."""
@@ -126,9 +137,7 @@ def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, pr
         train = make_pallas_dense_train(
             mesh, np.float32(2.0 * spec.alpha), spec.iters, bu, bi, precision
         )
-        L, R = train(
-            jax.device_put(L0, sL), jax.device_put(R0, sR), jax.device_put(A, sA)
-        )
+        L, R = train(putter(L0, sL), putter(R0, sR), putter(A, sA))
     return MFState(L=L, R=R)
 
 

@@ -42,10 +42,10 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from recsys_tpu.config import ProblemSpec, RunConfig
-from recsys_tpu.models.mf import MFState, init_factors
+from recsys_tpu.models.mf import MFState
 from recsys_tpu.parallel import sharding as shp
 from recsys_tpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS, make_mesh
-from recsys_tpu.parallel.step import make_dense_train, make_sharded_top1
+from recsys_tpu.parallel.step import make_sharded_top1
 
 
 def initialize(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
@@ -74,67 +74,20 @@ def factorize_multihost(
     cfg: RunConfig = RunConfig(),
     mesh=None,
 ) -> tuple[MFState, "jax.sharding.Mesh"]:
-    """Dense-path training over the global (all-process) mesh.
+    """Training over the global (all-process) mesh — every path of the
+    sharded engine (dense, Pallas-dense, and both COO forms, so the
+    huge sparse instances multi-host exists for route here too).
 
-    Each process materializes only its devices' blocks of A/M and the
-    replicated factor tables; the jitted shard_map step is identical to
-    the single-host sharded path.
+    The only difference from the single-process engine is array
+    placement: each process materializes and uploads only the blocks its
+    addressable devices own (``_local_block_array``).  The jitted
+    shard_map programs are byte-identical.
     """
-    dt = np.dtype(cfg.dtype)
+    from recsys_tpu.parallel.engine import factorize_sharded
+
     if mesh is None:
         mesh = make_mesh(spec.users, spec.items, shape=cfg.mesh_shape)
-    pu, pi = mesh.devices.shape
-
-    state = init_factors(spec.users, spec.items, spec.features)
-
-    from recsys_tpu.ops.pallas_dense import mask_is_implicit
-
-    if cfg.dtype in ("float32", "bfloat16") and spec.nnz and mask_is_implicit(spec):
-        # Same per-shard Pallas tiled step as the single-host sharded
-        # engine; only the array-assembly differs (per-process blocks).
-        from recsys_tpu.parallel.step import make_pallas_dense_train
-
-        users_pad, _, bu = shp.pallas_block_dims(spec.users, pu, 8, 256)
-        items_pad, _, bi = shp.pallas_block_dims(spec.items, pi, 128, 512)
-        K = -(-spec.features // 128) * 128
-        L0 = np.zeros((users_pad, K), np.float32)
-        L0[: spec.users, : spec.features] = state.L
-        R0 = np.zeros((items_pad, K), np.float32)
-        R0[: spec.items, : spec.features] = state.R
-        A = np.zeros((users_pad, items_pad), np.float32)
-        A[spec.rows, spec.cols] = spec.vals
-        with jax.enable_x64(False):
-            sL = NamedSharding(mesh, P(AXIS_USERS, None))
-            sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
-            sA = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
-            precision = "default" if cfg.dtype == "bfloat16" else "highest"
-            train = make_pallas_dense_train(
-                mesh, np.float32(2.0 * spec.alpha), spec.iters, bu, bi, precision
-            )
-            L, R = train(
-                _local_block_array(L0, sL),
-                _local_block_array(R0, sR),
-                _local_block_array(A, sA),
-            )
-        return MFState(L=L, R=R), mesh
-
-    L0, R0 = shp.pad_factors(
-        np.asarray(state.L, dtype=dt), np.asarray(state.R, dtype=dt), pu, pi
-    )
-    sL = NamedSharding(mesh, P(AXIS_USERS, None))
-    sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
-    sAM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
-
-    A, M = shp.dense_blocks(spec, pu, pi, dtype=dt)
-    L0 = _local_block_array(L0, sL)
-    R0 = _local_block_array(R0, sR)
-    Ag = _local_block_array(A, sAM)
-    Mg = _local_block_array(M, sAM)
-
-    alpha2 = dt.type(2.0 * spec.alpha)
-    train = make_dense_train(mesh, alpha2, spec.iters)
-    L, R = train(L0, R0, Ag, Mg)
-    return MFState(L=L, R=R), mesh
+    return factorize_sharded(spec, cfg, mesh=mesh, putter=_local_block_array)
 
 
 def recommend_multihost(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:

@@ -4,7 +4,10 @@ The closest this environment can get to the reference's mpirun runs:
 two OS processes bring up jax.distributed against a local coordinator,
 form one global 8-device mesh, run the sharded training step (each
 process uploads only its devices' blocks), and gather the output. Both
-processes must reproduce the golden.
+processes must reproduce the golden.  Parametrized over the dense and
+sparse (COO) routes — the reference's MPI driver exists precisely for
+instances whose dense form doesn't fit one node (matFact-mpi.c:220-457),
+so the sparse route is the one that must work multi-process.
 """
 
 import subprocess
@@ -32,15 +35,14 @@ WORKER = textwrap.dedent(
     from recsys_tpu.config import RunConfig
     from recsys_tpu.io.parser import load_problem
     spec = load_problem(sys.argv[5])
-    out, _ = multihost.run(spec, RunConfig(dtype="float32"))
+    out, _ = multihost.run(spec, RunConfig(dtype="float32", path=sys.argv[7]))
     golden = open(sys.argv[6]).read()
     print("GOLDEN_MATCH" if out == golden else "MISMATCH", flush=True)
     """
 )
 
 
-@pytest.mark.slow
-def test_two_process_multihost_golden(tmp_path):
+def _run_two_procs(tmp_path, fixture: str, path: str, port: str):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     repo = str(FIXTURES.parent.parent)
@@ -48,10 +50,11 @@ def test_two_process_multihost_golden(tmp_path):
         str(worker),
         "PROC",
         "2",
-        "12963",
+        port,
         repo,
-        str(FIXTURES / "inst30-40-10-2-10.in"),
-        str(FIXTURES / "inst30-40-10-2-10.out"),
+        str(FIXTURES / f"{fixture}.in"),
+        str(FIXTURES / f"{fixture}.out"),
+        path,
     ]
     procs = []
     for pid in range(2):
@@ -72,3 +75,15 @@ def test_two_process_multihost_golden(tmp_path):
         assert p.returncode == 0, out[-2000:]
     for out in outs:
         assert "GOLDEN_MATCH" in out, out[-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_golden_dense(tmp_path):
+    _run_two_procs(tmp_path, "inst30-40-10-2-10", "auto", "12963")
+
+
+@pytest.mark.slow
+def test_two_process_multihost_golden_coo(tmp_path):
+    # Explicit sparse route: per-process bucket upload through
+    # make_coo_seg_train (the multi-host form the huge instances need).
+    _run_two_procs(tmp_path, "inst30-40-10-2-10", "coo", "12967")
