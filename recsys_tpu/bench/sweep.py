@@ -59,7 +59,9 @@ DEFAULT_INSTANCES = [
     "inst50000-5000-100-2-5",
 ]
 
-# f64 exact mode only where the software-emulated f64 matmuls stay sane.
+# f64 exact mode: sparse instances run BELL at any size; instances whose
+# f64 path is the dense masked-matmul are skipped above this cell count
+# (software-emulated f64 matmuls).
 F64_CELL_LIMIT = 4_000_000  # users*items
 
 
@@ -92,7 +94,11 @@ def run_instance(name: str, dtype: str, repeats: int):
         agree = sum(x == y for x, y in zip(olines, glines)) / max(len(glines), 1)
         exact = out == golden
     wall = min(walls)
+    hbm_peak_mb = _device_peak_mb()
+    vmem_mb = _resident_vmem_mb(spec, cfg)
     return {
+        "hbm_peak_mb": hbm_peak_mb,
+        "resident_vmem_est_mb": vmem_mb,
         "instance": name,
         "dtype": dtype,
         "path": trainer.choose_path(spec, cfg),
@@ -123,8 +129,8 @@ def format_markdown(rows: list[dict]) -> str:
         "sit below the TPU's ~50us/iteration f64-emulation floor and are not what the",
         "hardware is for; the f32 kernels still reproduce their goldens exactly.",
         "",
-        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden |",
-        "|---|---|---|---|---|---|---|---|",
+        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden | HBM peak (MB) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         # gen-* instances are scale-equivalent regenerations of blobs
@@ -140,9 +146,14 @@ def format_markdown(rows: list[dict]) -> str:
             gold = f"{100 * r['agreement']:.2f}%"
         else:
             gold = "-"
+        mem = r.get("hbm_peak_mb")
+        vmem = r.get("resident_vmem_est_mb")
+        memcol = "-" if mem is None else f"{mem:g}"
+        if vmem is not None:
+            memcol += f" (+{vmem:g} VMEM)"
         lines.append(
             f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
-            f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} |"
+            f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} | {memcol} |"
         )
     lines += [
         "",
@@ -202,7 +213,7 @@ def main(argv=None):
 
     names = args.instances.split(",") if args.instances else DEFAULT_INSTANCES
     if args.dtype == "float64":
-        names = [n for n in names if _dims(n)[0] * _dims(n)[1] <= args.f64_cell_limit]
+        names = [n for n in names if _f64_feasible(n, args.f64_cell_limit)]
     rows = []
     for name in names:
         if not os.path.exists(os.path.join(_fixture_dir(), f"{name}.in")):
@@ -224,11 +235,52 @@ def main(argv=None):
     return 0
 
 
-def _dims(name: str):
+def _device_peak_mb():
+    """Device peak-HBM high-water mark in MB (None if the runtime does
+    not expose memory_stats — e.g. the CPU backend)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        return None if peak is None else round(peak / 1e6, 1)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _resident_vmem_mb(spec, cfg):
+    """Estimated VMEM working set when the run used the resident Pallas
+    kernel (the on-chip footprint HBM stats don't see), else None."""
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.ops import pallas_dense
+
+    if trainer.choose_path(spec, cfg) != "pallas":
+        return None
+    strip = 512 if spec.items * 8 > 4096 else 128
+    if not pallas_dense.resident_fits(spec, strip=strip):
+        return None
+    U = -(-spec.users // 8) * 8
+    I = -(-spec.items // strip) * strip
+    K = -(-spec.features // 128) * 128
+    need = 4 * (U * I + 2 * U * K + 2 * I * K + U * strip)
+    return round(need / 1e6, 1)
+
+
+def _f64_feasible(name: str, cell_limit: int) -> bool:
+    """f64 rows run wherever the auto path avoids the dense form (BELL
+    handles sparse instances at any size); dense-path instances are
+    capped by the software-f64 matmul cell limit."""
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
     from recsys_tpu.io.parser import load_problem
 
-    spec = load_problem(os.path.join(_fixture_dir(), f"{name}.in"))
-    return spec.users, spec.items
+    path = os.path.join(_fixture_dir(), f"{name}.in")
+    if not os.path.exists(path):
+        return False
+    spec = load_problem(path)
+    if trainer.choose_path(spec, RunConfig(dtype="float64")) != "dense":
+        return True
+    return spec.users * spec.items <= cell_limit
 
 
 if __name__ == "__main__":

@@ -51,7 +51,13 @@ from recsys_tpu.ops.bell import (
     unpermute_factors,
 )
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
-from recsys_tpu.ops.topk import make_mask_blocks, pad_items, top1_blocked
+from recsys_tpu.ops.topk import (
+    make_mask_blocks,
+    make_rated_table,
+    pad_items,
+    top1_blocked,
+    top1_rated_blocked,
+)
 
 # Dense A + M byte budget before switching to the COO formulation.
 DENSE_BUDGET_BYTES = 2 << 30
@@ -59,10 +65,10 @@ DENSE_BUDGET_BYTES = 2 << 30
 
 # Speed-dtype crossover between the dense Pallas kernels and BELL, in
 # dense-cells per padded BELL slot.  Calibrated on the fixture set
-# (BENCHMARKS.md): inst600-10000 (ratio ~10) still wins on the tiled
-# MXU kernel; inst400-50000 (ratio ~34) and inst50000-5000 (~356) win
-# on BELL.
-DENSE_BELL_CROSSOVER = 16
+# (BENCHMARKS.md): inst600-10000 (ratio ~22) wins on the tiled MXU
+# kernel (2.3 s vs 4.6 s); inst400-50000 (ratio ~73, 1.3 s vs 2.3 s)
+# and inst50000-5000 (~430, 4.6 s vs minutes) win on BELL.
+DENSE_BELL_CROSSOVER = 32
 # Exact-f64 has no MXU kernels (XLA dense masked-matmul only, software
 # f64), so the sparse form pays off almost immediately.
 DENSE_BELL_CROSSOVER_F64 = 2
@@ -133,6 +139,11 @@ def _train_coo(L, R, data: CooData, alpha2, iters, users, items):
 @partial(jax.jit, static_argnames=("block_items",))
 def _top1(L, R_padded, mask_blocks, block_items):
     return top1_blocked(L, R_padded, mask_blocks, block_items)
+
+
+@partial(jax.jit, static_argnames=("block_items", "items_true"))
+def _top1_rated(L, R_padded, rated, block_items, items_true):
+    return top1_rated_blocked(L, R_padded, rated, block_items, items_true)
 
 
 def _as_dtype(name: str):
@@ -234,12 +245,26 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
 
 
 def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> np.ndarray:
-    """Top-1 unrated item per user (int32[users]), computed blockwise."""
+    """Top-1 unrated item per user (int32[users]), computed blockwise.
+
+    Masking uses the compact rated-items table on device (upload is
+    O(nnz), not users×items) unless some user rated most of the item
+    space, where the broadcast-compare would cost more than the dense
+    mask it avoids."""
     block = min(cfg.block_items, -(-spec.items // 128) * 128)
     block = max(block, 128)
-    mask_blocks = make_mask_blocks(spec, block)
     R_pad = pad_items(np.asarray(state.R), spec.items, block)
-    top1 = _top1(jnp.asarray(state.L), jnp.asarray(R_pad), jnp.asarray(mask_blocks), block)
+    max_rated = int(np.bincount(spec.rows, minlength=spec.users).max()) if spec.nnz else 0
+    if max_rated <= max(spec.items // 8, 128):
+        rated = make_rated_table(spec)
+        top1 = _top1_rated(
+            jnp.asarray(state.L), jnp.asarray(R_pad), jnp.asarray(rated), block, spec.items
+        )
+    else:
+        mask_blocks = make_mask_blocks(spec, block)
+        top1 = _top1(
+            jnp.asarray(state.L), jnp.asarray(R_pad), jnp.asarray(mask_blocks), block
+        )
     return np.asarray(top1)
 
 

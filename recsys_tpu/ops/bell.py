@@ -80,13 +80,17 @@ class BellMeta(NamedTuple):
 
 
 class BellTables(NamedTuple):
-    """Device-resident tables.  Each tuple has one (w_b, n_b) array per
-    bucket; ``u*``/``i*`` index into *permuted* item/user space, with
-    padding slots pointing at the appended zero row (index = size)."""
+    """Device-resident tables.  Gather indices are ONE flat array per
+    side (concatenation of every bucket's row-major (w_b, n_b) table):
+    the whole side is gathered in a single op — many small gathers pay a
+    fixed per-op cost (~0.13 ms measured) while one large gather runs at
+    ~1.5 G rows/s.  Values stay per-bucket (w_b, n_b).  Indices are in
+    *permuted* item/user space; padding slots point at the appended zero
+    row (index = size)."""
 
-    ucols: tuple[jnp.ndarray, ...]  # int32 (w, n): item index per slot
+    ucols: jnp.ndarray  # int32 (S_u,): item index per slot, all buckets
     uvals: tuple[jnp.ndarray, ...]  # dtype (w, n): rating (0 = pad)
-    irows: tuple[jnp.ndarray, ...]  # int32 (q, m): user index per slot
+    irows: jnp.ndarray  # int32 (S_i,): user index per slot, all buckets
     ivals: tuple[jnp.ndarray, ...]  # dtype (q, m)
 
 
@@ -99,17 +103,31 @@ class BellData(NamedTuple):
     inv_item_perm: np.ndarray
 
 
-def _pow2_buckets(counts_sorted: np.ndarray) -> list[tuple[int, int, int]]:
+# Buckets narrower than this merge into the preceding (wider) one: each
+# bucket adds a handful of ops to the program, and below ~this many rows
+# the padding saved no longer pays for the op overhead.
+MIN_BUCKET_ROWS = 64
+
+
+def _degree_buckets(counts_sorted: np.ndarray, min_rows: int = MIN_BUCKET_ROWS) -> list[tuple[int, int, int]]:
     """Contiguous (start, stop, width) buckets over a non-increasing
-    degree sequence: one bucket per power-of-2 width class."""
+    degree sequence: exact-width buckets (padding only where a narrow
+    run merges into a wider bucket to stay above ``min_rows``)."""
     out: list[tuple[int, int, int]] = []
     n = len(counts_sorted)
     start = 0
     while start < n and counts_sorted[start] > 0:
         w = int(counts_sorted[start])
-        cap = 1 << (w - 1).bit_length()  # pow2 ceiling
-        lo = cap // 2  # members strictly above lo belong here
-        stop = int(np.searchsorted(-counts_sorted, -lo, side="left"))
+        stop = int(np.searchsorted(-counts_sorted, -w, side="right"))
+        # Merge narrow runs in, but never into rows less than half the
+        # bucket width — a lone hub row must not pad a long tail.
+        while (
+            stop - start < min_rows
+            and stop < n
+            and counts_sorted[stop] * 2 >= w
+        ):
+            nxt = int(counts_sorted[stop])
+            stop = int(np.searchsorted(-counts_sorted, -nxt, side="right"))
         out.append((start, stop, w))  # width = max in bucket (= first)
         start = stop
     return out
@@ -135,7 +153,7 @@ def _side_tables(counts: np.ndarray, perm: np.ndarray, inv: np.ndarray,
     """
     dim = len(counts)
     sorted_counts = counts[perm]
-    bounds = _pow2_buckets(sorted_counts)
+    bounds = _degree_buckets(sorted_counts)
     n_nz = bounds[-1][1] if bounds else 0
 
     # entries sorted by (permuted own, original other-order) — the
@@ -161,7 +179,12 @@ def _side_tables(counts: np.ndarray, perm: np.ndarray, inv: np.ndarray,
         vt[slot[sel], own_s[sel] - b0] = vals_s[sel].astype(dtype)
         cols_t.append(ct)
         vals_t.append(vt)
-    return tuple(bounds), n_nz, tuple(cols_t), tuple(vals_t)
+    cols_flat = (
+        np.concatenate([c.reshape(-1) for c in cols_t])
+        if cols_t
+        else np.zeros(0, np.int32)
+    )
+    return tuple(bounds), n_nz, cols_flat, tuple(vals_t)
 
 
 def make_bell_inputs(spec: ProblemSpec, dtype=np.float32) -> BellData:
@@ -203,27 +226,31 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
     for coords, dim in ((spec.rows, spec.users), (spec.cols, spec.items)):
         counts = np.bincount(coords, minlength=dim)
         sc = np.sort(counts)[::-1]
-        total += sum(w * (b1 - b0) for (b0, b1, w) in _pow2_buckets(sc))
+        total += sum(w * (b1 - b0) for (b0, b1, w) in _degree_buckets(sc))
     return total / (2.0 * spec.nnz)
 
 
-def _delta_side(F_own, F_other, cols_t, vals_t, bounds, alpha2):
-    """Per-bucket gradient halves for one side.
-
-    For each bucket (rows [b0, b1) of the degree-sorted own-side factor
-    table ``F_own``): gather the opposite factors, recompute the entry
-    error, reduce over the width axis.  Returns the (n_nz, k) gradient
-    for the nonzero-degree prefix.
+def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
+    """One side's gradient: a single gather of every slot's opposite
+    factor row, then per-bucket error recomputation and width reduction
+    over free views of the gathered buffer.  Returns the (n_nz, k)
+    gradient for the nonzero-degree prefix.
     """
+    if not bounds:
+        return None
+    k = F_own.shape[1]
+    g_flat = F_other[cols_flat]  # (S, k): the side's ONE gather
     parts = []
-    for (b0, b1, _w), cols, vals in zip(bounds, cols_t, vals_t):
+    off = 0
+    for (b0, b1, w), vals in zip(bounds, vals_t):
+        n = b1 - b0
+        # Splitting the major dim of (S, k) is layout-free.
+        g = jax.lax.slice_in_dim(g_flat, off, off + w * n, axis=0).reshape(w, n, k)
+        off += w * n
         fo = jax.lax.slice_in_dim(F_own, b0, b1, axis=0)  # (n, k)
-        g = F_other[cols]  # (w, n, k) gather — fused into both reduces
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
         parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
-    if not parts:
-        return None
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 

@@ -80,7 +80,10 @@ def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *,
 
     def do_strip(s):
         off = s * strip  # static: the strip loop is unrolled
-        a = A_ref[:, off : off + strip]  # (U, strip)
+        # A may be stored bf16 (exactly, when every rating round-trips
+        # bf16 — true for integer/half star scales), halving its VMEM
+        # footprint; the error math stays f32.
+        a = A_ref[:, off : off + strip].astype(jnp.float32)  # (U, strip)
         r = Rout_ref[off : off + strip, :]  # (strip, K)
         # E strip: masked error on the MXU. (A != 0) is the mask.
         pred = jax.lax.dot_general(
@@ -390,7 +393,17 @@ def pad_factors_for_pallas(spec, strip: int = 512, u_mult: int = 8, state=None):
 DEVICE_DENSIFY_MAX_NNZ = 200_000
 
 
-def device_dense_A(spec, U: int, I: int):
+def vals_bf16_exact(spec) -> bool:
+    """True when every rating survives an f -> bf16 -> f round trip
+    (integer and half-star scales do), so A can be stored bf16 with the
+    error math still exact in f32."""
+    import numpy as np
+
+    v = spec.vals
+    return bool(np.all(v.astype(jnp.bfloat16).astype(v.dtype) == v))
+
+
+def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
     """Densify the ratings on device when cheap (one scatter of nnz rows;
     the COO arrays are the only host->device transfer), else on host."""
     import numpy as np
@@ -398,24 +411,24 @@ def device_dense_A(spec, U: int, I: int):
     if spec.nnz > DEVICE_DENSIFY_MAX_NNZ:
         a = np.zeros((U, I), np.float32)
         a[spec.rows, spec.cols] = spec.vals
-        return jnp.asarray(a)
+        return jnp.asarray(a, dtype)
     rows = jnp.asarray(spec.rows, jnp.int32)
     cols = jnp.asarray(spec.cols, jnp.int32)
-    vals = jnp.asarray(spec.vals.astype(jnp.float32))
+    vals = jnp.asarray(spec.vals.astype(np.float32))
 
-    @functools.partial(jax.jit, static_argnames=("U", "I"))
-    def scatter(rows, cols, vals, U, I):
-        return jnp.zeros((U, I), jnp.float32).at[rows, cols].set(vals)
+    @functools.partial(jax.jit, static_argnames=("U", "I", "dtype"))
+    def scatter(rows, cols, vals, U, I, dtype):
+        return jnp.zeros((U, I), dtype).at[rows, cols].set(vals.astype(dtype))
 
-    return scatter(rows, cols, vals, U=U, I=I)
+    return scatter(rows, cols, vals, U=U, I=I, dtype=dtype)
 
 
-def resident_fits(spec, strip: int = 512) -> bool:
+def resident_fits(spec, strip: int = 512, a_bytes: int = 4) -> bool:
     """Does the whole problem (A + factors + accumulators) fit in VMEM?"""
     U = _round_up(spec.users, 8)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 128)
-    need = 4 * (U * I + 2 * U * K + 2 * I * K + U * strip)
+    need = a_bytes * U * I + 4 * (2 * U * K + 2 * I * K + U * strip)
     return need <= RESIDENT_VMEM_BUDGET
 
 

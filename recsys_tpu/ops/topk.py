@@ -51,6 +51,58 @@ def top1_blocked(L, R, mask_blocks, block_items: int):
     return best_idx
 
 
+def top1_rated_blocked(L, R, rated, block_items: int, items_true: int):
+    """Masked top-1 with the mask held as a compact rated-items table.
+
+    ``rated``: int32[users, P] — each user's rated item indices, padded
+    with -1.  The dense users×items mask is never built (for
+    inst50000-5000 it is a 250 MB host array whose transfer through the
+    device attachment cost more than the whole training loop); instead
+    each scanned block compares its item indices against the table on
+    device: users × P × block broadcast-compare, fused into the masked
+    argmax.  Falls back to :func:`top1_blocked` via the caller when P is
+    a large fraction of the item count.
+
+    Returns int32[users] winning item indices.
+    """
+    users = L.shape[0]
+    neg = jnp.array(-jnp.inf, dtype=L.dtype)
+    num_blocks = R.shape[0] // block_items
+    R_blocks = R.reshape(num_blocks, block_items, R.shape[1])
+
+    def body(carry, inp):
+        best_val, best_idx = carry
+        blk_idx, r_blk = inp
+        b = L @ r_blk.T  # (users, block_items) on the MXU
+        col = jax.lax.broadcasted_iota(jnp.int32, (users, block_items), 1)
+        col = col + blk_idx * block_items
+        is_rated = jnp.any(rated[:, :, None] == col[:, None, :], axis=1)
+        b = jnp.where(is_rated | (col >= items_true), neg, b)
+        val = jnp.max(b, axis=1)
+        idx = jnp.argmax(b, axis=1).astype(jnp.int32) + blk_idx * block_items
+        take = val > best_val  # strictly greater: incumbent (lower index) wins ties
+        return (jnp.where(take, val, best_val), jnp.where(take, idx, best_idx)), None
+
+    init = (jnp.full((users,), neg, dtype=L.dtype), jnp.zeros((users,), jnp.int32))
+    (best_val, best_idx), _ = jax.lax.scan(
+        body, init, (jnp.arange(num_blocks, dtype=jnp.int32), R_blocks)
+    )
+    return best_idx
+
+
+def make_rated_table(spec: ProblemSpec) -> np.ndarray:
+    """int32[users, P] table of each user's rated item indices, -1 pad
+    (P = max rated count, min 1).  nnz·~P bytes instead of users×items."""
+    counts = np.bincount(spec.rows, minlength=spec.users)
+    P = max(int(counts.max()) if counts.size else 0, 1)
+    start = np.zeros(spec.users + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    slot = np.arange(spec.nnz, dtype=np.int64) - start[spec.rows]
+    table = np.full((spec.users, P), -1, np.int32)
+    table[spec.rows, slot] = spec.cols
+    return table
+
+
 def make_mask_blocks(spec: ProblemSpec, block_items: int) -> np.ndarray:
     """Host-side rated-mask, padded along items to a block multiple and
     reshaped to (num_blocks, users, block_items). Padding is masked True."""

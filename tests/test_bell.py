@@ -42,11 +42,13 @@ def test_bell_tables_cover_every_entry(sparse_spec):
     assert total_i == pytest.approx(float(sparse_spec.vals.sum()))
     nz_u = sum(int((v != 0).sum()) for v in d.tables.uvals)
     assert nz_u == sparse_spec.nnz
-    # Padding slots index the appended zero row.
-    for cols in d.tables.ucols:
-        assert cols.max() <= sparse_spec.items
-    for rows in d.tables.irows:
-        assert rows.max() <= sparse_spec.users
+    # Flat gather index length == total slots; padding slots index the
+    # appended zero row.
+    assert d.tables.ucols.shape[0] == sum(
+        w * (b1 - b0) for (b0, b1, w) in d.meta.user.bounds
+    )
+    assert d.tables.ucols.max() <= sparse_spec.items
+    assert d.tables.irows.max() <= sparse_spec.users
 
 
 def test_bell_matches_oracle(sparse_spec):
