@@ -94,7 +94,7 @@ def run_instance(name: str, dtype: str, repeats: int):
         agree = sum(x == y for x, y in zip(olines, glines)) / max(len(glines), 1)
         exact = out == golden
     wall = min(walls)
-    hbm_peak_mb = _device_peak_mb()
+    hbm_peak_mb = _device_peak_mb() or _program_hbm_mb(spec, cfg)
     vmem_mb = _resident_vmem_mb(spec, cfg)
     return {
         "hbm_peak_mb": hbm_peak_mb,
@@ -237,13 +237,28 @@ def main(argv=None):
 
 def _device_peak_mb():
     """Device peak-HBM high-water mark in MB (None if the runtime does
-    not expose memory_stats — e.g. the CPU backend)."""
+    not expose memory_stats — the CPU backend and the tunneled TPU
+    attachment both return None; see _program_hbm_mb for the
+    compiler-reported figure used instead)."""
     import jax
 
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         return None if peak is None else round(peak / 1e6, 1)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _program_hbm_mb(spec, cfg):
+    """XLA's own memory analysis of the training program: arguments +
+    temps + output, in MB.  Exact (it is what the compiler reserves),
+    and available even where runtime memory_stats is not."""
+    try:
+        from recsys_tpu.engine import trainer
+
+        ma = trainer.train_memory_analysis(spec, cfg)
+        return None if ma is None else round(ma["total_bytes"] / 1e6, 1)
     except Exception:  # noqa: BLE001
         return None
 

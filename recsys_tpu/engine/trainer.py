@@ -222,12 +222,25 @@ def _factorize_pallas(spec: ProblemSpec, state: MFState | None, precision: str =
         return _factorize_pallas_impl(spec, state, precision)
 
 
+def _resident_a_dtype(spec: ProblemSpec, strip: int):
+    """A-storage dtype for the resident kernel, or None when the problem
+    does not fit VMEM: f32 when it fits outright; bf16 (halving A) when
+    every rating survives the round trip — exactness preserved either
+    way."""
+    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=4):
+        return jnp.float32
+    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=2) and pallas_dense.vals_bf16_exact(spec):
+        return jnp.bfloat16
+    return None
+
+
 def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
     strip = 512 if spec.items * 8 > 4096 else 128
     alpha2 = 2.0 * spec.alpha
-    if pallas_dense.resident_fits(spec, strip=strip):
+    a_dtype = _resident_a_dtype(spec, strip)
+    if a_dtype is not None:
         L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
-        A = pallas_dense.device_dense_A(spec, U, I)
+        A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
         Lp, Rp = pallas_dense.resident_train(
             jnp.asarray(L), jnp.asarray(R), A,
             iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
@@ -237,11 +250,80 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
         bi = 1024 if spec.items >= 1024 else 128
         L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=bi, u_mult=bu, state=state)
         A = pallas_dense.device_dense_A(spec, U, I)
+        # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
+        # bound: single-pass bf16 matmuls measured SLOWER than 6-pass
+        # f32 (6.58 s vs 4.12 s on gen-ML1M, BENCHMARKS r1) while
+        # costing accuracy — so bf16 falls back to full precision here.
         Lp, Rp = pallas_dense.tiled_train(
             jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
-            iters=spec.iters, bu=bu, bi=bi, precision=precision,
+            iters=spec.iters, bu=bu, bi=bi, precision="highest",
         )
     return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
+
+
+def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
+    """XLA's memory analysis of the auto-selected training program:
+    {argument,temp,output,total}_bytes as the compiler reserves them.
+    The bench memory column (the reference reports peak RSS per
+    instance, report-omp.pdf Table 1; SURVEY §6.2) uses this because the
+    tunneled TPU attachment exposes no runtime memory_stats.  Returns
+    None for paths without a single train program (fused-kernel runs
+    report their VMEM estimate instead)."""
+    dt = _as_dtype(cfg.dtype)
+    state = init_factors(spec.users, spec.items, spec.features)
+    L0 = jnp.asarray(state.L, dtype=dt)
+    R0 = jnp.asarray(state.R, dtype=dt)
+    alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
+    path = choose_path(spec, cfg)
+    if path == "bell":
+        data = make_bell_inputs(spec, dtype=dt)
+        Lp, Rp = pad_factors_for_bell(state, data, dt)
+        tables = jax.tree.map(jnp.asarray, data.tables)
+        lowered = _train_bell.lower(
+            jnp.asarray(Lp), jnp.asarray(Rp), tables, alpha2, spec.iters, data.meta
+        )
+    elif path == "dense":
+        A, M = make_dense_inputs(spec, dtype=dt)
+        lowered = _train_dense.lower(
+            L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters
+        )
+    elif path == "pallas":
+        strip = 512 if spec.items * 8 > 4096 else 128
+        a_dtype = _resident_a_dtype(spec, strip)
+        with jax.enable_x64(False):
+            L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
+            if a_dtype is not None:
+                A = jnp.zeros((U, I), a_dtype)
+                fn = jax.jit(
+                    partial(
+                        pallas_dense.resident_train,
+                        iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
+                        interpret=None, precision="highest",
+                    )
+                )
+                lowered = fn.lower(jnp.asarray(L), jnp.asarray(R), A)
+            else:
+                bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
+                bi = 1024 if spec.items >= 1024 else 128
+                L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=bi, u_mult=bu)
+                A = jnp.zeros((U, I), jnp.float32)
+                lowered = pallas_dense.tiled_train.lower(
+                    jnp.asarray(L), jnp.asarray(R), A, jnp.float32(2.0 * spec.alpha),
+                    iters=spec.iters, bu=bu, bi=bi, precision="highest",
+                )
+    else:
+        data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
+        lowered = _train_coo_cumsum.lower(L0, R0, data, alpha2, spec.iters)
+    ma = lowered.compile().memory_analysis()
+    if ma is None:
+        return None
+    out = {
+        "argument_bytes": int(ma.argument_size_in_bytes),
+        "temp_bytes": int(ma.temp_size_in_bytes),
+        "output_bytes": int(ma.output_size_in_bytes),
+    }
+    out["total_bytes"] = sum(out.values())
+    return out
 
 
 def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> np.ndarray:
@@ -272,8 +354,9 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
     strip = 512 if spec.items * 8 > 4096 else 128
     with jax.enable_x64(False):
+        a_dtype = _resident_a_dtype(spec, strip)
         L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
-        A = pallas_dense.device_dense_A(spec, U, I)
+        A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
         _, _, top1 = pallas_dense.resident_train_top1(
             jnp.asarray(L), jnp.asarray(R), A,
             iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
@@ -289,7 +372,7 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     path = choose_path(spec, cfg)
     if (
         path == "pallas"
-        and pallas_dense.resident_fits(spec, strip=512 if spec.items * 8 > 4096 else 128)
+        and _resident_a_dtype(spec, 512 if spec.items * 8 > 4096 else 128) is not None
         # Same implicit-mask gate as factorize(): an explicit path="pallas"
         # on a spec with a zero-valued rating must raise there, not
         # silently train with that entry masked out.

@@ -336,10 +336,11 @@ def tiled_train(L, R, A, alpha2, *, iters: int, bu: int = 1024, bi: int = 1024, 
 # Host-side padding / dispatch helpers
 # ---------------------------------------------------------------------
 
-# Estimated working set allowed for the resident kernel. Mosaic's actual
-# scoped allocation runs ~1.5x this estimate (temporaries); with the
-# kernel's 100 MB scoped-vmem limit, 48 MB estimated keeps a safe margin.
-RESIDENT_VMEM_BUDGET = 48 << 20
+# Estimated working set allowed for the resident kernel under the 100 MB
+# scoped-vmem limit. Calibrated by compile-probing (scripts/
+# probe_resident_ml1m.py): a 72 MB-estimate program (gen-ML1M with bf16
+# A, strip 512) compiles and fits; the 116 MB f32-A variant does not.
+RESIDENT_VMEM_BUDGET = 72 << 20
 
 
 def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
