@@ -43,6 +43,11 @@ REFERENCE_S = {
     "inst600-10000-10-40-400": (83.490, 11.717),
     "instML100k": (104.930, 13.922),
     "instML1M": (125.201, 8.60),
+    # Cluster-only instances: the reference never published serial
+    # numbers for these (they only ran at MPI 16-64 ranks,
+    # report-mpi.pdf Table 1); best-published is the 16-rank time.
+    "inst1000-1e6-1000-1-3": (None, 211.80),
+    "inst1e6-100-700-1-3": (None, 87.42),
 }
 
 DEFAULT_INSTANCES = [
@@ -138,8 +143,8 @@ def format_markdown(rows: list[dict]) -> str:
         ref = REFERENCE_S.get(r["instance"]) or REFERENCE_S.get(
             r["instance"].removeprefix("gen-")
         )
-        vs_serial = f"{ref[0] / r['wall_s']:.1f}x" if ref else "-"
-        vs_best = f"{ref[1] / r['wall_s']:.1f}x" if ref else "-"
+        vs_serial = f"{ref[0] / r['wall_s']:.1f}x" if ref and ref[0] else "-"
+        vs_best = f"{ref[1] / r['wall_s']:.1f}x" if ref and ref[1] else "-"
         if r["golden_exact"]:
             gold = "exact"
         elif r["agreement"] is not None:
@@ -162,17 +167,26 @@ def format_markdown(rows: list[dict]) -> str:
         "  blobs are missing upstream (see tests/fixtures/README.md); gen-instML1M",
         "  mirrors ML1M's shape/nnz/hyperparameters and is compared against the",
         "  original's published numbers.",
-        "- bf16 single-pass matmuls help the VMEM-resident kernel but not the tiled",
-        "  kernel (A-traffic/scheduling bound, not MXU-pass bound) — future work.",
+        "- bf16 single-pass matmuls help the VMEM-resident kernel only; on the",
+        "  tiled kernel they measured slower than 6-pass f32 (A-traffic bound), so",
+        "  bfloat16 falls back to full precision there. The resident kernel can",
+        "  also *store* A in bf16 (exact for integer/half-star rating scales),",
+        "  halving its VMEM footprint — that is how ML1M-scale instances fit the",
+        "  single-kernel path.",
         "- inst200-10000's golden is order-sensitive: even the numpy f64 oracle (and",
         "  hence any matrix-form engine) agrees 99.50%, not byte-exact — the last",
         "  0.5% of argmaxes depend on the serial C loop's floating-point summation",
         "  order. Every instance the reference reports as verification-grade",
         "  (SURVEY.md S0) is byte-exact here in f64 AND in fused-kernel f32.",
-        "- inst1000-1e6-1000-1-3 (1000x1M, k=1000) is supported by the COO path but",
-        "  not benchmarked through this remote TPU attachment: 4 GB factor tables",
-        "  plus the 1M-segment program's compile cost exceeded what the attachment",
-        "  tolerates (and its upstream golden is an empty file).",
+        "- The extreme-shape cluster instances run the BELL path: an iteration",
+        "  touches O(nnz*k) cells, never items*k, and no scatter program is",
+        "  compiled. inst1000-1e6's upstream golden is an empty file and",
+        "  inst1e6-100's .in blob is missing upstream (a gen-* analogue stands",
+        "  in), so those rows report wall time only.",
+        "- 'HBM peak' is XLA's compile-time memory analysis of the training",
+        "  program (arguments + temps + output; exact — it is what the compiler",
+        "  reserves). '+VMEM' is the resident kernel's estimated on-chip working",
+        "  set, which HBM numbers do not include.",
         "",
     ]
     return "\n".join(lines)

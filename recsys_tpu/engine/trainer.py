@@ -222,14 +222,18 @@ def _factorize_pallas(spec: ProblemSpec, state: MFState | None, precision: str =
         return _factorize_pallas_impl(spec, state, precision)
 
 
-def _resident_a_dtype(spec: ProblemSpec, strip: int):
+def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False):
     """A-storage dtype for the resident kernel, or None when the problem
     does not fit VMEM: f32 when it fits outright; bf16 (halving A) when
     every rating survives the round trip — exactness preserved either
-    way."""
-    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=4):
+    way.  ``fused_top1`` applies the tighter budget of the variant that
+    also reconstructs B in-kernel."""
+    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=4, fused_top1=fused_top1):
         return jnp.float32
-    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=2) and pallas_dense.vals_bf16_exact(spec):
+    if (
+        pallas_dense.resident_fits(spec, strip=strip, a_bytes=2, fused_top1=fused_top1)
+        and pallas_dense.vals_bf16_exact(spec)
+    ):
         return jnp.bfloat16
     return None
 
@@ -333,7 +337,14 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
     O(nnz), not users×items) unless some user rated most of the item
     space, where the broadcast-compare would cost more than the dense
     mask it avoids."""
-    block = min(cfg.block_items, -(-spec.items // 128) * 128)
+    # Cap users*block cells per scanned tile: the masked-argmax body
+    # materializes O(users*block) temps, and when XLA unrolls the
+    # rated-table fold it fuses them into (P, users, block) buffers —
+    # 2 x 6.1 GB (HBM OOM) at inst50000-5000 shape with block 4096 in
+    # x64 mode.  Bounding the tile keeps worst-case temps ~100x smaller
+    # at the cost of more scan steps (same total FLOPs).
+    cap = (16_000_000 // max(spec.users, 1)) // 128 * 128
+    block = min(cfg.block_items, -(-spec.items // 128) * 128, max(cap, 128))
     block = max(block, 128)
     R_pad = pad_items(np.asarray(state.R), spec.items, block)
     max_rated = int(np.bincount(spec.rows, minlength=spec.users).max()) if spec.nnz else 0
@@ -354,7 +365,7 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
     strip = 512 if spec.items * 8 > 4096 else 128
     with jax.enable_x64(False):
-        a_dtype = _resident_a_dtype(spec, strip)
+        a_dtype = _resident_a_dtype(spec, strip, fused_top1=True)
         L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
         A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
         _, _, top1 = pallas_dense.resident_train_top1(
@@ -372,7 +383,8 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     path = choose_path(spec, cfg)
     if (
         path == "pallas"
-        and _resident_a_dtype(spec, 512 if spec.items * 8 > 4096 else 128) is not None
+        and _resident_a_dtype(spec, 512 if spec.items * 8 > 4096 else 128, fused_top1=True)
+        is not None
         # Same implicit-mask gate as factorize(): an explicit path="pallas"
         # on a spec with a zero-valued rating must raise there, not
         # silently train with that entry masked out.

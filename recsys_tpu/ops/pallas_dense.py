@@ -342,6 +342,13 @@ def tiled_train(L, R, A, alpha2, *, iters: int, bu: int = 1024, bi: int = 1024, 
 # A, strip 512) compiles and fits; the 116 MB f32-A variant does not.
 RESIDENT_VMEM_BUDGET = 72 << 20
 
+# The fused-top-1 variant carries extra Mosaic stack temporaries for the
+# strip-wise B reconstruction (measured: the gen-ML1M 72 MB-estimate
+# program needs 115.6 MB scoped as resident_train_top1 vs <=100 MB as
+# resident_train — a ~1.6x estimate->actual ratio).  Above this estimate
+# the engine trains resident and runs the blocked top-1 separately.
+RESIDENT_TOP1_VMEM_BUDGET = 52 << 20
+
 
 def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
     """Zero-padded (L0, R0, A, dims) for the Pallas kernels, float32.
@@ -424,13 +431,14 @@ def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
     return scatter(rows, cols, vals, U=U, I=I, dtype=dtype)
 
 
-def resident_fits(spec, strip: int = 512, a_bytes: int = 4) -> bool:
+def resident_fits(spec, strip: int = 512, a_bytes: int = 4, fused_top1: bool = False) -> bool:
     """Does the whole problem (A + factors + accumulators) fit in VMEM?"""
     U = _round_up(spec.users, 8)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 128)
     need = a_bytes * U * I + 4 * (2 * U * K + 2 * I * K + U * strip)
-    return need <= RESIDENT_VMEM_BUDGET
+    budget = RESIDENT_TOP1_VMEM_BUDGET if fused_top1 else RESIDENT_VMEM_BUDGET
+    return need <= budget
 
 
 def mask_is_implicit(spec) -> bool:
