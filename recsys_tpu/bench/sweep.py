@@ -286,13 +286,13 @@ def _resident_vmem_mb(spec, cfg):
     if trainer.choose_path(spec, cfg) != "pallas":
         return None
     strip = 512 if spec.items * 8 > 4096 else 128
-    if not pallas_dense.resident_fits(spec, strip=strip):
-        return None
-    U = -(-spec.users // 8) * 8
-    I = -(-spec.items // strip) * strip
-    K = -(-spec.features // 128) * 128
-    need = 4 * (U * I + 2 * U * K + 2 * I * K + U * strip)
-    return round(need / 1e6, 1)
+    choices = [4] + ([2] if pallas_dense.vals_bf16_exact(spec) else [])
+    for a_bytes in choices:
+        if pallas_dense.resident_fits(spec, strip=strip, a_bytes=a_bytes):
+            return round(
+                pallas_dense.resident_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) / 1e6, 1
+            )
+    return None
 
 
 def _f64_feasible(name: str, cell_limit: int) -> bool:

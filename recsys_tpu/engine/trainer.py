@@ -243,25 +243,28 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
     alpha2 = 2.0 * spec.alpha
     a_dtype = _resident_a_dtype(spec, strip)
     if a_dtype is not None:
-        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
+        Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
         A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
-        Lp, Rp = pallas_dense.resident_train(
-            jnp.asarray(L), jnp.asarray(R), A,
+        Ltp, Rtp = pallas_dense.resident_train(
+            jnp.asarray(Lt), jnp.asarray(Rt), A,
             iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
         )
-    else:
-        bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
-        bi = 1024 if spec.items >= 1024 else 128
-        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=bi, u_mult=bu, state=state)
-        A = pallas_dense.device_dense_A(spec, U, I)
-        # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
-        # bound: single-pass bf16 matmuls measured SLOWER than 6-pass
-        # f32 (6.58 s vs 4.12 s on gen-ML1M, BENCHMARKS r1) while
-        # costing accuracy — so bf16 falls back to full precision here.
-        Lp, Rp = pallas_dense.tiled_train(
-            jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
-            iters=spec.iters, bu=bu, bi=bi, precision="highest",
+        return MFState(
+            L=np.asarray(Ltp)[: spec.features, : spec.users].T,
+            R=np.asarray(Rtp)[: spec.features, : spec.items].T,
         )
+    bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
+    bi = 1024 if spec.items >= 1024 else 128
+    L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu, state=state)
+    A = pallas_dense.device_dense_A(spec, U, I)
+    # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
+    # bound: single-pass bf16 matmuls measured SLOWER than 6-pass
+    # f32 (6.58 s vs 4.12 s on gen-ML1M, BENCHMARKS r1) while
+    # costing accuracy — so bf16 falls back to full precision here.
+    Lp, Rp = pallas_dense.tiled_train(
+        jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
+        iters=spec.iters, bu=bu, bi=bi, precision="highest",
+    )
     return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
 
 
@@ -295,8 +298,8 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
         strip = 512 if spec.items * 8 > 4096 else 128
         a_dtype = _resident_a_dtype(spec, strip)
         with jax.enable_x64(False):
-            L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
             if a_dtype is not None:
+                Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
                 A = jnp.zeros((U, I), a_dtype)
                 fn = jax.jit(
                     partial(
@@ -305,11 +308,11 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
                         interpret=None, precision="highest",
                     )
                 )
-                lowered = fn.lower(jnp.asarray(L), jnp.asarray(R), A)
+                lowered = fn.lower(jnp.asarray(Lt), jnp.asarray(Rt), A)
             else:
                 bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
                 bi = 1024 if spec.items >= 1024 else 128
-                L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=bi, u_mult=bu)
+                L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu)
                 A = jnp.zeros((U, I), jnp.float32)
                 lowered = pallas_dense.tiled_train.lower(
                     jnp.asarray(L), jnp.asarray(R), A, jnp.float32(2.0 * spec.alpha),
@@ -366,10 +369,10 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     strip = 512 if spec.items * 8 > 4096 else 128
     with jax.enable_x64(False):
         a_dtype = _resident_a_dtype(spec, strip, fused_top1=True)
-        L, R, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
+        Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
         A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
         _, _, top1 = pallas_dense.resident_train_top1(
-            jnp.asarray(L), jnp.asarray(R), A,
+            jnp.asarray(Lt), jnp.asarray(Rt), A,
             iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
             precision=precision, items_true=spec.items,
         )

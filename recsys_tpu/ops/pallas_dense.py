@@ -70,13 +70,22 @@ def _interpret(flag: bool | None) -> bool:
 # ---------------------------------------------------------------------
 
 
-def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *, iters, alpha2, strip, precision):
-    U, K = L_ref.shape
-    I = R_ref.shape[0]
+def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref, Lu_ref, *, iters, alpha2, strip, precision):
+    """K-major layout: factors are (K, U) / (K, I) with K a sublane
+    multiple (8), NOT a lane multiple (128).  The two gradient matmuls
+    then stream only K rows through the MXU — at k=30 that is 4x fewer
+    MXU passes than the lane-major form, whose k->128 padding made every
+    gradient matmul pay for 128 output lanes (the round-1 "k-padding
+    tax": ML100k ran k=30 as K=128, ~23% useful FLOPs).  The prediction
+    matmul (whose output is the (U, strip) error tile, irreducible) uses
+    a once-per-iteration transposed copy Lu (U, K) so all three products
+    lower as MXU-native forms."""
+    K, U = Lt_ref.shape
+    I = Rt_ref.shape[1]
     n_strips = I // strip
 
-    Lout_ref[:] = L_ref[:]
-    Rout_ref[:] = R_ref[:]
+    Ltout_ref[:] = Lt_ref[:]
+    Rtout_ref[:] = Rt_ref[:]
 
     def do_strip(s):
         off = s * strip  # static: the strip loop is unrolled
@@ -84,25 +93,33 @@ def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *,
         # bf16 — true for integer/half star scales), halving its VMEM
         # footprint; the error math stays f32.
         a = A_ref[:, off : off + strip].astype(jnp.float32)  # (U, strip)
-        r = Rout_ref[off : off + strip, :]  # (strip, K)
+        rt = Rtout_ref[:, off : off + strip]  # (K, strip)
         # E strip: masked error on the MXU. (A != 0) is the mask.
         pred = jax.lax.dot_general(
-            Lout_ref[:], r, (((1,), (1,)), ((), ())),
+            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         e = jnp.where(a != 0.0, a - pred, 0.0)
-        dL_ref[:] += jnp.dot(e, r, preferred_element_type=jnp.float32, precision=precision)
-        dR_ref[off : off + strip, :] = jax.lax.dot_general(
-            e, Lout_ref[:], (((0,), (0,)), ((), ())),
+        # (K, strip) x (U, strip)^T -> (K, U): streams K rows only.
+        dLt_ref[:] += jax.lax.dot_general(
+            rt, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # (K, U) x (U, strip) -> (K, strip): streams K rows only.
+        dRt_ref[:, off : off + strip] = jax.lax.dot_general(
+            Ltout_ref[:], e, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
 
     def iter_body(_, carry):
-        dL_ref[:] = jnp.zeros_like(dL_ref)
+        # Stable-snapshot semantics (matFact.c:38-39): Lu/rt/Ltout all
+        # read the pre-iteration factors; updates land after the strips.
+        Lu_ref[:] = Ltout_ref[:].T
+        dLt_ref[:] = jnp.zeros_like(dLt_ref)
         for s in range(n_strips):  # static unroll: lets Mosaic pipeline strips
             do_strip(s)
-        Lout_ref[:] = Lout_ref[:] + alpha2 * dL_ref[:]
-        Rout_ref[:] = Rout_ref[:] + alpha2 * dR_ref[:]
+        Ltout_ref[:] = Ltout_ref[:] + alpha2 * dLt_ref[:]
+        Rtout_ref[:] = Rtout_ref[:] + alpha2 * dRt_ref[:]
         return carry
 
     # int32 bounds: under x64 mode a default int loop index is i64,
@@ -111,27 +128,28 @@ def _resident_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision"))
-def resident_train(L, R, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
-    """Full training loop in one VMEM-resident kernel.
+def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
+    """Full training loop in one VMEM-resident kernel, K-major factors.
 
-    L: (U, K), R: (I, K), A: (U, I); U mult of 8, K mult of 128, I mult
-    of ``strip`` (itself a mult of 128); all float32, zero-padded.
+    Lt: (K, U), Rt: (K, I), A: (U, I); U mult of 128, K mult of 8, I
+    mult of ``strip`` (itself a mult of 128); factors float32,
+    zero-padded; A float32 or bfloat16.
     ``precision``: MXU pass count for the f32 matmuls — "highest" is
     true-f32 accuracy (6 bf16 passes), "default" is single-pass bf16.
-    Returns (L', R') after ``iters`` full-batch GD steps.
+    Returns K-major (Lt', Rt') after ``iters`` full-batch GD steps.
     """
-    U, K = L.shape
-    I = R.shape[0]
-    assert A.shape == (U, I) and I % strip == 0 and K % 128 == 0 and U % 8 == 0
+    K, U = Lt.shape
+    I = Rt.shape[1]
+    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
     kernel = functools.partial(
         _resident_kernel, iters=iters, alpha2=alpha2, strip=strip, precision=precision
     )
-    flops = 3 * 2 * U * I * K * iters
+    flops = (1 + 2 * K / 128) * 2 * U * I * 128 * iters
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((U, K), jnp.float32),
-            jax.ShapeDtypeStruct((I, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, U), jnp.float32),
+            jax.ShapeDtypeStruct((K, I), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -143,16 +161,17 @@ def resident_train(L, R, A, *, iters: int, alpha2: float, strip: int = 512, inte
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((U, K), jnp.float32),  # dL accumulator
-            pltpu.VMEM((I, K), jnp.float32),  # dR accumulator
+            pltpu.VMEM((K, U), jnp.float32),  # dLt accumulator
+            pltpu.VMEM((K, I), jnp.float32),  # dRt accumulator
+            pltpu.VMEM((U, K), jnp.float32),  # Lu: per-iter transposed L
         ],
         # L and R update in place: the factor tables live in one VMEM
         # buffer each for the whole run.
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
+        cost_estimate=pl.CostEstimate(flops=int(flops), bytes_accessed=A.size * 4, transcendentals=0),
         interpret=_interpret(interpret),
-    )(A, L, R)
+    )(A, Lt, Rt)
 
 
 # ---------------------------------------------------------------------
@@ -249,27 +268,28 @@ def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret:
     return L + alpha2 * dL, R + alpha2 * dR
 
 
-def _resident_top1_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, top_ref, dL_ref, dR_ref, bv_ref, *, iters, alpha2, strip, precision, items_true):
+def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, Lu_ref, bv_ref, *, iters, alpha2, strip, precision, items_true):
     """Resident kernel + fused masked top-1: the whole problem in one
     kernel. After the training loop, reconstruct B strip-by-strip on the
     MXU, mask rated cells (A != 0) and padded items, and keep a running
     (best value, best index) per user. Strictly-greater updates preserve
     the reference's lowest-index tie-break (``matFact.c:17``)."""
     _resident_kernel(
-        A_ref, L_ref, R_ref, Lout_ref, Rout_ref, dL_ref, dR_ref,
+        A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref, Lu_ref,
         iters=iters, alpha2=alpha2, strip=strip, precision=precision,
     )
-    U = L_ref.shape[0]
-    I = R_ref.shape[0]
+    K, U = Lt_ref.shape
+    I = Rt_ref.shape[1]
     neg = jnp.float32(-jnp.inf)
     bv_ref[:] = jnp.full_like(bv_ref, neg)
     top_ref[:] = jnp.zeros_like(top_ref)
+    Lu_ref[:] = Ltout_ref[:].T  # final factors for the B reconstruction
     for s in range(I // strip):
         off = s * strip
         a = A_ref[:, off : off + strip]
-        r = Rout_ref[off : off + strip, :]
+        rt = Rtout_ref[:, off : off + strip]
         b = jax.lax.dot_general(
-            Lout_ref[:], r, (((1,), (1,)), ((), ())),
+            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
@@ -282,21 +302,22 @@ def _resident_top1_kernel(A_ref, L_ref, R_ref, Lout_ref, Rout_ref, top_ref, dL_r
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
-def resident_train_top1(L, R, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
-    """resident_train + fused top-1. Returns (L', R', top1[U, 1] int32)."""
-    U, K = L.shape
-    I = R.shape[0]
-    assert A.shape == (U, I) and I % strip == 0 and K % 128 == 0 and U % 8 == 0
+def resident_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
+    """resident_train + fused top-1 (K-major factors).
+    Returns (Lt', Rt', top1[U, 1] int32)."""
+    K, U = Lt.shape
+    I = Rt.shape[1]
+    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
     kernel = functools.partial(
         _resident_top1_kernel, iters=iters, alpha2=alpha2, strip=strip,
         precision=precision, items_true=items_true,
     )
-    flops = (3 * iters + 1) * 2 * U * I * K
+    flops = ((1 + 2 * K / 128) * iters + 1) * 2 * U * I * 128
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((U, K), jnp.float32),
-            jax.ShapeDtypeStruct((I, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, U), jnp.float32),
+            jax.ShapeDtypeStruct((K, I), jnp.float32),
             jax.ShapeDtypeStruct((U, 1), jnp.int32),
         ),
         in_specs=[
@@ -310,15 +331,16 @@ def resident_train_top1(L, R, A, *, iters: int, alpha2: float, strip: int = 512,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((U, K), jnp.float32),
-            pltpu.VMEM((I, K), jnp.float32),
+            pltpu.VMEM((K, U), jnp.float32),
+            pltpu.VMEM((K, I), jnp.float32),
+            pltpu.VMEM((U, K), jnp.float32),  # Lu
             pltpu.VMEM((U, 1), jnp.float32),  # running best value
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=A.size * 4, transcendentals=0),
+        cost_estimate=pl.CostEstimate(flops=int(flops), bytes_accessed=A.size * 4, transcendentals=0),
         interpret=_interpret(interpret),
-    )(A, L, R)
+    )(A, Lt, Rt)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "bu", "bi", "interpret", "precision"))
@@ -350,34 +372,52 @@ RESIDENT_VMEM_BUDGET = 72 << 20
 RESIDENT_TOP1_VMEM_BUDGET = 52 << 20
 
 
-def pad_for_pallas(spec, strip: int = 512, u_mult: int = 8):
-    """Zero-padded (L0, R0, A, dims) for the Pallas kernels, float32.
+def pad_for_pallas(spec, strip: int = 512):
+    """Zero-padded K-major (Lt0, Rt0, A, dims) for the resident kernels,
+    float32.
 
-    Returns (L, R, A, (U, I, K)) with U mult ``u_mult``, I mult
-    ``strip``, K mult 128. Padding is self-masking (A = 0 there).
+    Returns (Lt (K,U), Rt (K,I), A (U,I), (U, I, K)) with U mult 128
+    (lane dim of the K-major factors), I mult ``strip``, K mult 8
+    (sublane dim — NOT 128: the whole point of the K-major layout).
+    Padding is self-masking (A = 0 there).
+    """
+    import numpy as np
+
+    Lt, Rt, (U, I, K) = pad_factors_for_pallas(spec, strip=strip)
+    A = np.zeros((U, I), np.float32)
+    A[spec.rows, spec.cols] = spec.vals
+    return Lt, Rt, A, (U, I, K)
+
+
+def pad_factors_for_pallas(spec, strip: int = 512, state=None):
+    """Zero-padded K-major f32 (Lt0, Rt0, dims) without materializing
+    dense A on host — A is densified on device by ``device_dense_A``
+    (uploading the nnz-sized COO instead of the users×items matrix; for
+    ML1M-scale the transfer drops ~8x).
+
+    Returns (Lt (K,U), Rt (K,I), (U, I, K)): U mult 128, I mult
+    ``strip``, K mult 8 only.
     """
     import numpy as np
 
     from recsys_tpu.models.mf import init_factors
 
-    U = _round_up(spec.users, u_mult)
+    U = _round_up(spec.users, 128)
     I = _round_up(spec.items, strip)
-    K = _round_up(spec.features, 128)
-    state = init_factors(spec.users, spec.items, spec.features)
-    L = np.zeros((U, K), np.float32)
-    L[: spec.users, : spec.features] = state.L
-    R = np.zeros((I, K), np.float32)
-    R[: spec.items, : spec.features] = state.R
-    A = np.zeros((U, I), np.float32)
-    A[spec.rows, spec.cols] = spec.vals
-    return L, R, A, (U, I, K)
+    K = _round_up(spec.features, 8)
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    Lt = np.zeros((K, U), np.float32)
+    Lt[: spec.features, : spec.users] = state.L.T
+    Rt = np.zeros((K, I), np.float32)
+    Rt[: spec.features, : spec.items] = state.R.T
+    return Lt, Rt, (U, I, K)
 
 
-def pad_factors_for_pallas(spec, strip: int = 512, u_mult: int = 8, state=None):
-    """Zero-padded f32 (L0, R0, dims) without materializing dense A on
-    host — A is densified on device by ``device_dense_A`` (uploading the
-    nnz-sized COO instead of the users×items matrix; for ML1M-scale the
-    transfer drops ~8x)."""
+def pad_factors_lane_major(spec, strip: int = 512, u_mult: int = 8, state=None):
+    """Zero-padded lane-major f32 (L0 (U,K128), R0 (I,K128), dims) for
+    the tiled two-pass kernels, which keep the classic layout (their
+    per-tile matmuls are already I/U-bound, not k-bound)."""
     import numpy as np
 
     from recsys_tpu.models.mf import init_factors
@@ -431,12 +471,19 @@ def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
     return scatter(rows, cols, vals, U=U, I=I, dtype=dtype)
 
 
+def resident_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
+    """Estimated VMEM working set of the K-major resident kernel: A +
+    aliased factor tables + dLt/dRt accumulators + Lu transpose + one
+    (U, strip) error tile."""
+    U = _round_up(spec.users, 128)
+    I = _round_up(spec.items, strip)
+    K = _round_up(spec.features, 8)
+    return a_bytes * U * I + 4 * (3 * U * K + 2 * I * K + U * strip)
+
+
 def resident_fits(spec, strip: int = 512, a_bytes: int = 4, fused_top1: bool = False) -> bool:
     """Does the whole problem (A + factors + accumulators) fit in VMEM?"""
-    U = _round_up(spec.users, 8)
-    I = _round_up(spec.items, strip)
-    K = _round_up(spec.features, 128)
-    need = a_bytes * U * I + 4 * (2 * U * K + 2 * I * K + U * strip)
+    need = resident_vmem_bytes(spec, strip=strip, a_bytes=a_bytes)
     budget = RESIDENT_TOP1_VMEM_BUDGET if fused_top1 else RESIDENT_VMEM_BUDGET
     return need <= budget
 

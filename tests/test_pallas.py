@@ -1,14 +1,18 @@
 """Pallas dense-GD kernels vs the jnp/numpy reference (interpret mode on
-the CPU test mesh; the same kernels compile with Mosaic on real TPU)."""
+the CPU test mesh; the same kernels compile with Mosaic on real TPU).
+
+The resident kernels use the K-major factor layout (Lt (K,U), Rt (K,I),
+K a sublane multiple); the tiled kernels keep the lane-major (U,K128)
+layout. Helpers below convert between them at the boundary."""
 
 import numpy as np
 import pytest
 
 from recsys_tpu.engine.oracle import factorize_numpy
 from recsys_tpu.io.generator import generate_instance
-from recsys_tpu.models.mf import init_factors
 from recsys_tpu.ops.pallas_dense import (
     mask_is_implicit,
+    pad_factors_lane_major,
     pad_for_pallas,
     resident_fits,
     resident_train,
@@ -33,23 +37,26 @@ def test_mask_is_implicit(small_spec):
 
 
 def test_resident_matches_oracle(small_spec):
-    L, R, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
-    Lp, Rp = resident_train(L, R, A, iters=5, alpha2=2 * small_spec.alpha, strip=128)
+    Lt, Rt, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
+    assert Lt.shape == (K, U) and Rt.shape == (K, I) and K == 16  # k=10 -> 16, not 128
+    Ltp, Rtp = resident_train(Lt, Rt, A, iters=5, alpha2=2 * small_spec.alpha, strip=128)
     ref = _reference_factors(small_spec, 5)
     np.testing.assert_allclose(
-        np.asarray(Lp)[: small_spec.users, : small_spec.features], ref.L, rtol=2e-4, atol=2e-5
+        np.asarray(Ltp)[: small_spec.features, : small_spec.users].T, ref.L, rtol=2e-4, atol=2e-5
     )
     np.testing.assert_allclose(
-        np.asarray(Rp)[: small_spec.items, : small_spec.features], ref.R, rtol=2e-4, atol=2e-5
+        np.asarray(Rtp)[: small_spec.features, : small_spec.items].T, ref.R, rtol=2e-4, atol=2e-5
     )
     # Padded rows/cols must stay exactly zero (self-masking padding).
-    assert np.all(np.asarray(Lp)[small_spec.users :] == 0)
-    assert np.all(np.asarray(Rp)[small_spec.items :] == 0)
-    assert np.all(np.asarray(Lp)[:, small_spec.features :] == 0)
+    assert np.all(np.asarray(Ltp)[:, small_spec.users :] == 0)
+    assert np.all(np.asarray(Rtp)[:, small_spec.items :] == 0)
+    assert np.all(np.asarray(Ltp)[small_spec.features :] == 0)
 
 
 def test_tiled_matches_oracle(small_spec):
-    L, R, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
+    L, R, (U, I, K) = pad_factors_lane_major(small_spec, strip=128, u_mult=16)
+    A = np.zeros((U, I), np.float32)
+    A[small_spec.rows, small_spec.cols] = small_spec.vals
     Lp, Rp = L, R
     for _ in range(3):
         Lp, Rp = tiled_gd_step(Lp, Rp, A, np.float32(2 * small_spec.alpha), bu=16, bi=128)
@@ -63,13 +70,20 @@ def test_tiled_matches_oracle(small_spec):
 
 
 def test_tiled_equals_resident(small_spec):
-    L, R, A, _ = pad_for_pallas(small_spec, strip=128)
-    L1, R1 = resident_train(L, R, A, iters=2, alpha2=2 * small_spec.alpha, strip=128)
-    L2, R2 = L, R
+    Lt, Rt, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
+    Lt1, Rt1 = resident_train(Lt, Rt, A, iters=2, alpha2=2 * small_spec.alpha, strip=128)
+    L2, R2, (U2, I2, K2) = pad_factors_lane_major(small_spec, strip=128, u_mult=16)
+    A2 = np.zeros((U2, I2), np.float32)
+    A2[small_spec.rows, small_spec.cols] = small_spec.vals
     for _ in range(2):
-        L2, R2 = tiled_gd_step(L2, R2, A, np.float32(2 * small_spec.alpha), bu=16, bi=128)
-    np.testing.assert_allclose(np.asarray(L1), np.asarray(L2), rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), rtol=1e-5, atol=1e-7)
+        L2, R2 = tiled_gd_step(L2, R2, A2, np.float32(2 * small_spec.alpha), bu=16, bi=128)
+    u, i, k = small_spec.users, small_spec.items, small_spec.features
+    np.testing.assert_allclose(
+        np.asarray(Lt1)[:k, :u].T, np.asarray(L2)[:u, :k], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(Rt1)[:k, :i].T, np.asarray(R2)[:i, :k], rtol=1e-5, atol=1e-7
+    )
 
 
 def test_resident_fits_budget():
@@ -83,9 +97,9 @@ def test_resident_top1_matches_oracle(small_spec):
     from recsys_tpu.engine.oracle import top1_numpy
     from recsys_tpu.ops.pallas_dense import resident_train_top1
 
-    L, R, A, _ = pad_for_pallas(small_spec, strip=128)
-    Lp, Rp, top1 = resident_train_top1(
-        L, R, A, iters=5, alpha2=2 * small_spec.alpha, strip=128,
+    Lt, Rt, A, _ = pad_for_pallas(small_spec, strip=128)
+    Ltp, Rtp, top1 = resident_train_top1(
+        Lt, Rt, A, iters=5, alpha2=2 * small_spec.alpha, strip=128,
         items_true=small_spec.items,
     )
     ref = _reference_factors(small_spec, 5)
@@ -101,12 +115,12 @@ def test_resident_top1_tie_break_lowest_index():
 
     from recsys_tpu.ops.pallas_dense import resident_train_top1
 
-    U, I, K = 8, 128, 128
-    L = np.ones((U, K), np.float32)
-    R = np.ones((I, K), np.float32)
+    U, I, K = 128, 128, 8
+    Lt = np.ones((K, U), np.float32)
+    Rt = np.ones((K, I), np.float32)
     A = np.zeros((U, I), np.float32)  # nothing rated
     _, _, top1 = resident_train_top1(
-        jnp.asarray(L), jnp.asarray(R), jnp.asarray(A),
+        jnp.asarray(Lt), jnp.asarray(Rt), jnp.asarray(A),
         iters=0, alpha2=0.0, strip=128, items_true=I,
     )
     np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
