@@ -274,6 +274,177 @@ def bell_gd_step(L, R, tables: BellTables, alpha2, meta: BellMeta):
     return L, R
 
 
+# ---------------------------------------------------------------------
+# Sharded BELL: the checkerboard (2-D mesh) form
+# ---------------------------------------------------------------------
+
+
+class ShardedBellMeta(NamedTuple):
+    """Static metadata shared by EVERY shard (shard_map runs one program,
+    so bucket shapes must be uniform; per-shard raggedness is absorbed as
+    padding slots against the per-block zero row)."""
+
+    user: BellSide  # bounds/n_nz in block-local row space; size = u_blk
+    item: BellSide
+    features: int
+    u_blk: int  # true rows per user block (the block arrays carry +1 zero row)
+    i_blk: int
+    pu: int
+    pi: int
+
+
+class ShardedBellTables(NamedTuple):
+    """Host tables stacked (pu, pi, ...): shard (ub, ib) reads its
+    leading [ub, ib] slice under shard_map.  Index tables are flat per
+    shard (one gather per side, as single-chip); value tables per
+    bucket.  Indices are block-LOCAL with ``blk`` (the appended zero
+    row) marking padding slots."""
+
+    ucols: np.ndarray  # int32 (pu, pi, S_u)
+    uvals: tuple[np.ndarray, ...]  # dtype (pu, pi, w, n)
+    irows: np.ndarray  # int32 (pu, pi, S_i)
+    ivals: tuple[np.ndarray, ...]
+
+
+class ShardedBellData(NamedTuple):
+    meta: ShardedBellMeta
+    tables: ShardedBellTables
+    user_perm: np.ndarray
+    item_perm: np.ndarray
+    inv_user_perm: np.ndarray
+    inv_item_perm: np.ndarray
+
+
+def _sharded_side_tables(shard, own_local, other_local, vals, own_blk_dim, other_blk_dim, n_shards, dtype):
+    """One side's shard-uniform tables.
+
+    ``shard``: owning shard id per entry; ``own_local``/``other_local``:
+    block-local coordinates.  Bucket boundaries come from the
+    non-increasing envelope of the per-row max-local-degree profile
+    across ALL shards, so one static bucket structure fits every shard
+    (the raggedness this pads away is the price of the reference's
+    uniform-block constraint, mpiutil.h:8-13, in shard_map form).
+    """
+    key = shard.astype(np.int64) * own_blk_dim + own_local
+    d = np.bincount(key, minlength=n_shards * own_blk_dim).reshape(n_shards, own_blk_dim)
+    w_need = d.max(axis=0) if len(vals) else np.zeros(own_blk_dim, np.int64)
+    env = np.maximum.accumulate(w_need[::-1])[::-1]
+    bounds = _degree_buckets(env)
+    n_nz = bounds[-1][1] if bounds else 0
+
+    order = np.argsort(key, kind="stable")  # keeps file order within a row
+    key_s = key[order]
+    starts = np.zeros(n_shards * own_blk_dim + 1, np.int64)
+    np.cumsum(np.bincount(key_s, minlength=n_shards * own_blk_dim), out=starts[1:])
+    slot = np.arange(len(key_s), dtype=np.int64) - starts[key_s]
+    own_s = own_local[order]
+    shard_s = shard[order]
+    other_s = other_local[order]
+    vals_s = vals[order]
+
+    cols_t: list[np.ndarray] = []
+    vals_t: list[np.ndarray] = []
+    for (b0, b1, w) in bounds:
+        n = b1 - b0
+        ct = np.full((n_shards, w, n), other_blk_dim, np.int32)  # pad -> zero row
+        vt = np.zeros((n_shards, w, n), dtype)
+        sel = (own_s >= b0) & (own_s < b1)
+        ct[shard_s[sel], slot[sel], own_s[sel] - b0] = other_s[sel]
+        vt[shard_s[sel], slot[sel], own_s[sel] - b0] = vals_s[sel].astype(dtype)
+        cols_t.append(ct)
+        vals_t.append(vt)
+    if cols_t:
+        flat = np.concatenate([c.reshape(n_shards, -1) for c in cols_t], axis=1)
+    else:
+        flat = np.zeros((n_shards, 0), np.int32)
+    return tuple(bounds), n_nz, flat, tuple(vals_t)
+
+
+def make_sharded_bell(spec: ProblemSpec, pu: int, pi: int, dtype=np.float32) -> ShardedBellData:
+    """Checkerboard BELL: users and items are permuted by GLOBAL degree
+    (one ordering every mesh row/column agrees on), the permuted spaces
+    are block-partitioned (pu × pi), and each shard gets BELL tables
+    over its local entries with shard-uniform static shapes."""
+    from recsys_tpu.ops.coo import require_row_major
+
+    require_row_major(spec)
+    _, uperm, uinv = _degree_perm(spec.rows, spec.users)
+    _, iperm, iinv = _degree_perm(spec.cols, spec.items)
+    u_blk = -(-spec.users // pu)
+    i_blk = -(-spec.items // pi)
+    up = uinv[spec.rows]
+    ip = iinv[spec.cols]
+    ub = up // u_blk
+    ib = ip // i_blk
+    shard = (ub * pi + ib).astype(np.int64)
+    ul = (up - ub * u_blk).astype(np.int64)
+    il = (ip - ib * i_blk).astype(np.int64)
+    n_shards = pu * pi
+
+    ubounds, u_nz, ucols, uvals = _sharded_side_tables(
+        shard, ul, il, spec.vals, u_blk, i_blk, n_shards, dtype
+    )
+    ibounds, i_nz, irows, ivals = _sharded_side_tables(
+        shard, il, ul, spec.vals, i_blk, u_blk, n_shards, dtype
+    )
+    meta = ShardedBellMeta(
+        user=BellSide(bounds=ubounds, n_nz=u_nz, size=u_blk),
+        item=BellSide(bounds=ibounds, n_nz=i_nz, size=i_blk),
+        features=spec.features,
+        u_blk=u_blk,
+        i_blk=i_blk,
+        pu=pu,
+        pi=pi,
+    )
+    tables = ShardedBellTables(
+        ucols=ucols.reshape(pu, pi, -1),
+        uvals=tuple(v.reshape(pu, pi, *v.shape[1:]) for v in uvals),
+        irows=irows.reshape(pu, pi, -1),
+        ivals=tuple(v.reshape(pu, pi, *v.shape[1:]) for v in ivals),
+    )
+    return ShardedBellData(
+        meta=meta, tables=tables,
+        user_perm=uperm, item_perm=iperm,
+        inv_user_perm=uinv, inv_item_perm=iinv,
+    )
+
+
+def pad_factors_sharded_bell(state, data: ShardedBellData, dtype):
+    """Degree-permute the factors and lay them out block-strided with one
+    appended zero row per block (local index ``blk`` — the row every
+    padding slot gathers; blocks other than the last have no natural
+    zero rows, unlike the single-chip layout)."""
+    m = data.meta
+    k = state.L.shape[1]
+
+    def lay(F, perm, dim, blocks, blk):
+        out = np.zeros((blocks * (blk + 1), k), dtype)
+        pos = np.arange(dim)
+        out[(pos // blk) * (blk + 1) + pos % blk] = F[perm].astype(dtype)
+        return out
+
+    L = lay(state.L, data.user_perm, len(data.user_perm), m.pu, m.u_blk)
+    R = lay(state.R, data.item_perm, len(data.item_perm), m.pi, m.i_blk)
+    return L, R
+
+
+def unpermute_factors_sharded(L, R, data: ShardedBellData):
+    """Back to original row order, dropping per-block zero rows and the
+    block padding."""
+    m = data.meta
+    L = np.asarray(L)
+    R = np.asarray(R)
+
+    def unlay(F, inv, dim, blk):
+        pos = np.arange(dim)
+        return F[(pos // blk) * (blk + 1) + pos % blk][inv]
+
+    return (
+        unlay(L, data.inv_user_perm, len(data.user_perm), m.u_blk),
+        unlay(R, data.inv_item_perm, len(data.item_perm), m.i_blk),
+    )
+
+
 def pad_factors_for_bell(state, data: BellData, dtype):
     """Host-side: permute the serial-draw-order factors into degree
     order and append the zero padding row each side's gathers use."""

@@ -32,12 +32,27 @@ DENSE_BUDGET_BYTES = 2 << 30
 
 
 def _choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int) -> str:
+    """Mirror of the single-chip ``trainer.choose_path`` work comparison
+    (dense cells vs BELL slots, dtype-aware crossover), with the dense
+    budget scaled per-device (the A/M blocks shard across the mesh)."""
+    from recsys_tpu.engine.trainer import DENSE_BELL_CROSSOVER, DENSE_BELL_CROSSOVER_F64
+    from recsys_tpu.ops.bell import bell_slot_ratio
+
     if cfg.path != "auto":
         return cfg.path
+    if spec.nnz == 0:
+        return "dense"
     itemsize = jnp.dtype(cfg.dtype).itemsize
-    # Budget is per-device: the dense A/M blocks shard across the mesh.
     total = 2 * spec.users * spec.items * itemsize
-    return "dense" if total <= DENSE_BUDGET_BYTES * n_devices else "coo"
+    dense_fits = total <= DENSE_BUDGET_BYTES * n_devices
+    cells = spec.users * spec.items
+    slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
+    crossover = (
+        DENSE_BELL_CROSSOVER_F64 if cfg.dtype == "float64" else DENSE_BELL_CROSSOVER
+    )
+    if cells > crossover * slots or not dense_fits:
+        return "bell"
+    return "dense"
 
 
 def factorize_sharded(
@@ -76,6 +91,8 @@ def factorize_sharded(
         # tiled-kernel deltas + the two axis psums.
         precision = "default" if cfg.dtype == "bfloat16" else "highest"
         return _factorize_sharded_pallas(spec, mesh, state, precision, putter), mesh
+    if path == "bell" and spec.nnz:
+        return _factorize_sharded_bell(spec, cfg, mesh, state, putter), mesh
 
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
@@ -109,6 +126,40 @@ def factorize_sharded(
         train = make_coo_train(mesh, alpha2, spec.iters, u_blk, i_blk)
         L, R = train(L0, R0, *dev)
     return MFState(L=L, R=R), mesh
+
+
+def _factorize_sharded_bell(spec: ProblemSpec, cfg: RunConfig, mesh, state: MFState | None, putter=jax.device_put) -> MFState:
+    """Checkerboard BELL training (ops/bell.py): global-degree-permuted
+    factors with per-block zero rows, shard-uniform bucket tables, one
+    fused gather-reduce per side per shard + the two axis psums.  The
+    result is un-permuted on host and re-uploaded in the standard
+    ``P('u'/'i', None)`` layout so the top-1 pipeline is unchanged."""
+    from recsys_tpu.models.mf import MFState as _MF
+    from recsys_tpu.ops.bell import (
+        make_sharded_bell,
+        pad_factors_sharded_bell,
+        unpermute_factors_sharded,
+    )
+    from recsys_tpu.parallel.step import make_bell_train
+
+    pu, pi = mesh.devices.shape
+    dt = jnp.dtype(cfg.dtype)
+    data = make_sharded_bell(spec, pu, pi, dtype=dt)
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    L0, R0 = pad_factors_sharded_bell(state, data, dt)
+    sL = NamedSharding(mesh, P(AXIS_USERS, None))
+    sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
+    s3 = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
+    s4 = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None, None))
+    t = data.tables
+    dev = [putter(t.ucols, s3), putter(t.irows, s3)]
+    dev += [putter(v, s4) for v in t.uvals + t.ivals]
+    train = make_bell_train(mesh, dt.type(2.0 * spec.alpha), spec.iters, data.meta)
+    Lp, Rp = train(putter(L0, sL), putter(R0, sR), *dev)
+    Lh, Rh = unpermute_factors_sharded(Lp, Rp, data)
+    L1, R1 = shp.pad_factors(Lh, Rh, pu, pi)
+    return _MF(L=putter(L1, sL), R=putter(R1, sR))
 
 
 def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, precision: str, putter=jax.device_put) -> MFState:
@@ -179,7 +230,7 @@ def dryrun(n_devices: int) -> None:
     mesh = make_mesh(0, 0, shape=(pu, n_devices // pu), devices=devs)
 
     spec = generate_instance(12, 20, 4, 1, 5, iters=1, alpha=0.01, seed=7)
-    for path in ("dense", "coo"):
+    for path in ("dense", "coo", "bell"):
         cfg = RunConfig(dtype="float32", path=path)
         state, _ = factorize_sharded(spec, cfg, mesh=mesh)
         top1 = recommend_sharded(state, spec, mesh)

@@ -182,6 +182,62 @@ def make_coo_seg_train(mesh, alpha2, iters: int, u_blk: int, i_blk: int):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_bell_train(mesh, alpha2, iters: int, meta):
+    """Jitted sharded BELL trainer — the checkerboard form of the
+    degree-sorted bucketed-ELL step (``ops/bell.py``), replacing the
+    sharded COO forms' scatter/cumsum work with one fused gather-reduce
+    per side per shard.
+
+    L: (pu·(u_blk+1), k) P('u', None) — per-block zero row appended;
+    R: (pi·(i_blk+1), k) P('i', None); index tables (pu, pi, S)
+    P('u','i',None); per-bucket value tables (pu, pi, w, n)
+    P('u','i',None,None).  Per shard: partial ΔL/ΔR over local entries
+    (each side recomputing the entry error from its own tables), then
+    ``psum(ΔL,'i')`` + ``psum(ΔR,'u')`` — the two Iallreduces of
+    ``matFact-mpi.c:207-209``.
+    """
+    from recsys_tpu.ops.bell import _delta_side
+
+    n_ub = len(meta.user.bounds)
+    nU, nI = meta.user.n_nz, meta.item.n_nz
+
+    def loop(L, R, ucols, irows, *valts):
+        uvals = tuple(v[0, 0] for v in valts[:n_ub])
+        ivals = tuple(v[0, 0] for v in valts[n_ub:])
+        ucols_l = ucols[0, 0]
+        irows_l = irows[0, 0]
+
+        def body(_, c):
+            L, R = c
+            dL = _delta_side(L, R, ucols_l, uvals, meta.user.bounds, alpha2)
+            dR = _delta_side(R, L, irows_l, ivals, meta.item.bounds, alpha2)
+            if dL is not None:
+                dL = jax.lax.psum(dL, AXIS_ITEMS)
+                L = jax.lax.dynamic_update_slice(
+                    L, jax.lax.slice_in_dim(L, 0, nU, axis=0) + dL, (0, 0)
+                )
+            if dR is not None:
+                dR = jax.lax.psum(dR, AXIS_USERS)
+                R = jax.lax.dynamic_update_slice(
+                    R, jax.lax.slice_in_dim(R, 0, nI, axis=0) + dR, (0, 0)
+                )
+            return L, R
+
+        return jax.lax.fori_loop(0, iters, body, (L, R))
+
+    spec3 = P(AXIS_USERS, AXIS_ITEMS, None)
+    spec4 = P(AXIS_USERS, AXIS_ITEMS, None, None)
+    n_vt = n_ub + len(meta.item.bounds)
+    sharded = shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None), spec3, spec3)
+        + (spec4,) * n_vt,
+        out_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_sharded_top1(mesh, i_blk: int):
     """Jitted sharded top-1: (L, R, rated_mask) -> int32[users_pad].
 

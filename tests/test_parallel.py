@@ -38,7 +38,7 @@ def test_balanced_grid():
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
-@pytest.mark.parametrize("path", ["dense", "coo"])
+@pytest.mark.parametrize("path", ["dense", "coo", "bell"])
 def test_sharded_matches_single_chip(shape, path):
     """30x40 instance, 50 iters, f64: every mesh shape reproduces the
     single-device engine (padding: 30 and 40 are not multiples of 8)."""
@@ -154,12 +154,36 @@ def test_sharded_coo_with_empty_shards():
                            rows=rows, cols=cols, vals=vals)
         want = trainer.factorize(spec, RunConfig(dtype="float32", path="dense"))
         mesh = make_mesh(spec.users, spec.items, shape=(2, 4))
-        got, _ = par.factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
-        np.testing.assert_allclose(
-            np.asarray(got.L)[: spec.users, : spec.features],
-            np.asarray(want.L), rtol=3e-5, atol=3e-6,
-        )
-        np.testing.assert_allclose(
-            np.asarray(got.R)[: spec.items, : spec.features],
-            np.asarray(want.R), rtol=3e-5, atol=3e-6,
-        )
+        for path in ("coo", "bell"):
+            got, _ = par.factorize_sharded(
+                spec, RunConfig(dtype="float32", path=path), mesh=mesh
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.L)[: spec.users, : spec.features],
+                np.asarray(want.L), rtol=3e-5, atol=3e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.R)[: spec.items, : spec.features],
+                np.asarray(want.R), rtol=3e-5, atol=3e-6,
+            )
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_bell_extreme_aspect(shape):
+    """Sharded BELL on a hyper-sparse wide instance (the inst1000-1e6
+    regime scaled down): must agree with single-chip BELL and touch no
+    items-sized work beyond the factor block."""
+    from recsys_tpu.io.generator import generate_instance
+
+    spec = generate_instance(40, 5000, 16, 1, 3, iters=4, alpha=0.001, seed=5)
+    want = trainer.factorize(spec, RunConfig(dtype="float32", path="bell"))
+    mesh = make_mesh(spec.users, spec.items, shape=shape)
+    got, _ = par.factorize_sharded(spec, RunConfig(dtype="float32", path="bell"), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got.L)[: spec.users, : spec.features],
+        np.asarray(want.L), rtol=3e-5, atol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.R)[: spec.items, : spec.features],
+        np.asarray(want.R), rtol=3e-5, atol=3e-6,
+    )
