@@ -62,6 +62,11 @@ DEFAULT_INSTANCES = [
     "inst400-50000-30-200-500",
     "instML100k",
     "inst50000-5000-100-2-5",
+    # The reference's cluster-only extreme shapes (report-mpi.pdf
+    # Table 1, MPI-16): the real 1000x1M k=1000 fixture and the 1M-user
+    # gen-* analogue of the missing inst1e6-100-700-1-3 blob.
+    "inst1000-1e6-1000-1-3",
+    "gen-inst1e6-100-700-1-3",
 ]
 
 # f64 exact mode: sparse instances run BELL at any size; instances whose
@@ -307,6 +312,11 @@ def _f64_feasible(name: str, cell_limit: int) -> bool:
     if not os.path.exists(path):
         return False
     spec = load_problem(path)
+    # Even sparse-path f64 needs both factor tables (plus the device
+    # un-permute's gather copy) resident in f64: cap at half of HBM.
+    factor_bytes = 2 * 2 * (spec.users + spec.items) * spec.features * 8
+    if factor_bytes > 8 << 30:
+        return False
     if trainer.choose_path(spec, RunConfig(dtype="float64")) != "dense":
         return True
     return spec.users * spec.items <= cell_limit

@@ -48,13 +48,11 @@ from recsys_tpu.ops.bell import (
     bell_slot_ratio,
     make_bell_inputs,
     pad_factors_for_bell,
-    unpermute_factors,
 )
 from recsys_tpu.ops.dense import dense_gd_step, make_dense_inputs
 from recsys_tpu.ops.topk import (
     make_mask_blocks,
     make_rated_table,
-    pad_items,
     top1_blocked,
     top1_rated_blocked,
 )
@@ -177,14 +175,8 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
         A, M = make_dense_inputs(spec, dtype=dt)
         L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
     elif path == "bell":
-        data = make_bell_inputs(spec, dtype=dt)
-        Lp, Rp = pad_factors_for_bell(state, data, dt)
-        tables = jax.tree.map(jnp.asarray, data.tables)
-        Lp, Rp = _train_bell(
-            jnp.asarray(Lp), jnp.asarray(Rp), tables, alpha2, spec.iters, data.meta
-        )
-        Lh, Rh = unpermute_factors(Lp, Rp, data)
-        return MFState(L=Lh, R=Rh)
+        st = _factorize_bell_device(spec, cfg, state)
+        return MFState(L=np.asarray(st.L), R=np.asarray(st.R))
     elif path == "coo":
         # Speed dtypes trade the scatter-add segment reduction for the
         # prefix-sum form (exact f64 keeps the cancellation-free scatter).
@@ -205,6 +197,27 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
             L, R = _train_coo(L0, R0, data, alpha2, spec.iters, spec.users, spec.items)
     else:
         raise ValueError(f"unknown path {path!r}")
+    return MFState(L=L, R=R)
+
+
+def _factorize_bell_device(spec: ProblemSpec, cfg: RunConfig, state: MFState | None = None) -> MFState:
+    """BELL training with the result left ON DEVICE in original row
+    order (the degree un-permute is a device gather — exact).  Callers
+    that need host factors download; ``run()`` feeds the device arrays
+    straight into the top-1 so multi-GB factor tables (inst1000-1e6's
+    4 GB R) never cross the ~35 MB/s attachment link."""
+    dt = _as_dtype(cfg.dtype)
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    data = make_bell_inputs(spec, dtype=dt)
+    Lp0, Rp0 = pad_factors_for_bell(state, data, dt)
+    tables = jax.tree.map(jnp.asarray, data.tables)
+    alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
+    Lp, Rp = _train_bell(
+        jnp.asarray(Lp0), jnp.asarray(Rp0), tables, alpha2, spec.iters, data.meta
+    )
+    L = jnp.take(Lp, jnp.asarray(data.inv_user_perm), axis=0)
+    R = jnp.take(Rp, jnp.asarray(data.inv_item_perm), axis=0)
     return MFState(L=L, R=R)
 
 
@@ -349,17 +362,24 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
     cap = (16_000_000 // max(spec.users, 1)) // 128 * 128
     block = min(cfg.block_items, -(-spec.items // 128) * 128, max(cap, 128))
     block = max(block, 128)
-    R_pad = pad_items(np.asarray(state.R), spec.items, block)
+    # State may arrive as device arrays (the BELL/tiled paths keep
+    # factors on device: through this attachment a GB-scale factor
+    # download runs ~35 MB/s, so the whole pipeline stays device-side
+    # and only the int32 indices come back). Padding happens on device
+    # either way — jnp.asarray is a no-op for resident arrays and a
+    # single upload for host ones.
+    items_pad = -(-spec.items // block) * block
+    R_pad = jnp.pad(jnp.asarray(state.R), ((0, items_pad - spec.items), (0, 0)))
     max_rated = int(np.bincount(spec.rows, minlength=spec.users).max()) if spec.nnz else 0
     if max_rated <= max(spec.items // 8, 128):
         rated = make_rated_table(spec)
         top1 = _top1_rated(
-            jnp.asarray(state.L), jnp.asarray(R_pad), jnp.asarray(rated), block, spec.items
+            jnp.asarray(state.L), R_pad, jnp.asarray(rated), block, spec.items
         )
     else:
         mask_blocks = make_mask_blocks(spec, block)
         top1 = _top1(
-            jnp.asarray(state.L), jnp.asarray(R_pad), jnp.asarray(mask_blocks), block
+            jnp.asarray(state.L), R_pad, jnp.asarray(mask_blocks), block
         )
     return np.asarray(top1)
 
@@ -396,6 +416,8 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
         precision = "default" if cfg.dtype == "bfloat16" else "highest"
         top1 = _pallas_fused_top1(spec, precision)
         return format_recommendations(top1, spec.rated_counts(), spec.items), top1
-    state = factorize(spec, cfg)
+    # BELL runs end-to-end device-resident: train -> un-permute ->
+    # top-1 all on device; only the int32 indices are downloaded.
+    state = _factorize_bell_device(spec, cfg) if path == "bell" else factorize(spec, cfg)
     top1 = recommend(state, spec, cfg)
     return format_recommendations(top1, spec.rated_counts(), spec.items), top1

@@ -157,7 +157,12 @@ def rand01(n: int, seed: int):
     lib = _load()
     if lib is None:
         return None
-    out = np.empty(n, dtype=np.float64)
+    # THP-backed output: into fresh 4 KB pages the generator is
+    # fault-bound at ~18 M draws/s on this host class; hugepages restore
+    # the ~190 M draws/s the code actually runs at (utils/hostmem.py).
+    from recsys_tpu.utils.hostmem import hugepage_empty
+
+    out = hugepage_empty(n, np.float64)
     lib.rs_rand01_sequence(n, seed, out.ctypes.data)
     return out
 

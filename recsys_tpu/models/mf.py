@@ -36,8 +36,12 @@ def init_factors(users: int, items: int, features: int, seed: int = 0) -> MFStat
     Returns L (users × k) and R (items × k). R is the transpose of the
     generated (k × items) R_init, so ``R[j, f] == draw(k*users + f*items + j)``.
     """
+    from recsys_tpu.utils.hostmem import hugepage_empty
+
     k = features
-    draws = rand01_sequence(users * k + k * items, seed=seed) / k
+    draws = rand01_sequence(users * k + k * items, seed=seed)
+    draws /= k  # in place: no second GB-scale buffer at 1M-user shapes
     L = draws[: users * k].reshape(users, k)
-    R = draws[users * k :].reshape(k, items).T.copy()
+    R = hugepage_empty((items, k), np.float64)
+    R[...] = draws[users * k :].reshape(k, items).T
     return MFState(L=L, R=R)

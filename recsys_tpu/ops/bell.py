@@ -447,12 +447,16 @@ def unpermute_factors_sharded(L, R, data: ShardedBellData):
 
 def pad_factors_for_bell(state, data: BellData, dtype):
     """Host-side: permute the serial-draw-order factors into degree
-    order and append the zero padding row each side's gathers use."""
+    order and append the zero padding row each side's gathers use.
+    THP-backed staging + chunked permute-cast: at 1M-dimension shapes a
+    plain fancy-index would stage GBs through cold 4 KB pages."""
+    from recsys_tpu.utils.hostmem import hugepage_zeros, take_cast
+
     k = state.L.shape[1]
-    L = np.zeros((data.meta.user.size + 1, k), dtype)
-    L[:-1] = state.L[data.user_perm].astype(dtype)
-    R = np.zeros((data.meta.item.size + 1, k), dtype)
-    R[:-1] = state.R[data.item_perm].astype(dtype)
+    L = hugepage_zeros((data.meta.user.size + 1, k), dtype)
+    take_cast(state.L, data.user_perm, L[:-1])
+    R = hugepage_zeros((data.meta.item.size + 1, k), dtype)
+    take_cast(state.R, data.item_perm, R[:-1])
     return L, R
 
 

@@ -27,11 +27,14 @@ from recsys_tpu.config import ProblemSpec
 
 def make_dense_inputs(spec: ProblemSpec, dtype=jnp.float32):
     """Host-side dense A (ratings, 0 elsewhere) and mask M in ``dtype``."""
-    a = np.zeros((spec.users, spec.items), dtype=np.float64)
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
+    dtype = jnp.dtype(dtype)
+    a = hugepage_zeros((spec.users, spec.items), dtype)
     a[spec.rows, spec.cols] = spec.vals
-    m = np.zeros((spec.users, spec.items), dtype=np.float64)
+    m = hugepage_zeros((spec.users, spec.items), dtype)
     m[spec.rows, spec.cols] = 1.0
-    return a.astype(dtype), m.astype(dtype)
+    return a, m
 
 
 def dense_gd_step(L, R, A, M, alpha2):

@@ -383,8 +383,10 @@ def pad_for_pallas(spec, strip: int = 512):
     """
     import numpy as np
 
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
     Lt, Rt, (U, I, K) = pad_factors_for_pallas(spec, strip=strip)
-    A = np.zeros((U, I), np.float32)
+    A = hugepage_zeros((U, I), np.float32)
     A[spec.rows, spec.cols] = spec.vals
     return Lt, Rt, A, (U, I, K)
 
@@ -402,14 +404,16 @@ def pad_factors_for_pallas(spec, strip: int = 512, state=None):
 
     from recsys_tpu.models.mf import init_factors
 
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
     U = _round_up(spec.users, 128)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 8)
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
-    Lt = np.zeros((K, U), np.float32)
+    Lt = hugepage_zeros((K, U), np.float32)
     Lt[: spec.features, : spec.users] = state.L.T
-    Rt = np.zeros((K, I), np.float32)
+    Rt = hugepage_zeros((K, I), np.float32)
     Rt[: spec.features, : spec.items] = state.R.T
     return Lt, Rt, (U, I, K)
 
@@ -422,14 +426,16 @@ def pad_factors_lane_major(spec, strip: int = 512, u_mult: int = 8, state=None):
 
     from recsys_tpu.models.mf import init_factors
 
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
     U = _round_up(spec.users, u_mult)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 128)
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
-    L = np.zeros((U, K), np.float32)
+    L = hugepage_zeros((U, K), np.float32)
     L[: spec.users, : spec.features] = state.L
-    R = np.zeros((I, K), np.float32)
+    R = hugepage_zeros((I, K), np.float32)
     R[: spec.items, : spec.features] = state.R
     return L, R, (U, I, K)
 
@@ -457,7 +463,9 @@ def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
     import numpy as np
 
     if spec.nnz > DEVICE_DENSIFY_MAX_NNZ:
-        a = np.zeros((U, I), np.float32)
+        from recsys_tpu.utils.hostmem import hugepage_zeros
+
+        a = hugepage_zeros((U, I), np.float32)
         a[spec.rows, spec.cols] = spec.vals
         return jnp.asarray(a, dtype)
     rows = jnp.asarray(spec.rows, jnp.int32)

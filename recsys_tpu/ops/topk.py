@@ -127,10 +127,3 @@ def make_mask_blocks(spec: ProblemSpec, block_items: int) -> np.ndarray:
     )
 
 
-def pad_items(R: np.ndarray, items: int, block_items: int) -> np.ndarray:
-    """Pad R (items × k) with zero rows to a block multiple."""
-    items_pad = -(-items // block_items) * block_items
-    if items_pad == items:
-        return R
-    pad = np.zeros((items_pad - items, R.shape[1]), dtype=R.dtype)
-    return np.concatenate([R, pad], axis=0)

@@ -41,3 +41,12 @@ def test_multihost_pallas_route_golden():
     spec = load_problem(str(FIXTURES / "inst30-40-10-2-10.in"))
     out, _ = multihost.run(spec, RunConfig(dtype="float32"))
     assert out == open(FIXTURES / "inst30-40-10-2-10.out").read()
+
+
+def test_multihost_bell_route_golden():
+    """Explicit BELL through the multi-host layer: the sharded-BELL
+    tables upload via the per-process block callback (stacked (pu, pi)
+    leading dims make every shard's slice process-local)."""
+    spec = load_problem(str(FIXTURES / "inst30-40-10-2-10.in"))
+    out, _ = multihost.run(spec, RunConfig(dtype="float32", path="bell"))
+    assert out == open(FIXTURES / "inst30-40-10-2-10.out").read()
