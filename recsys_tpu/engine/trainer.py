@@ -71,6 +71,14 @@ DENSE_BELL_CROSSOVER = 32
 # f64), so the sparse form pays off almost immediately.
 DENSE_BELL_CROSSOVER_F64 = 2
 
+# Transfer-bound middle ground (TPU speed dtypes): when the dense-A
+# upload would exceed this, BELL's O(nnz) tables win even below the
+# compute crossover — the remote attachment moves GB-scale arrays at
+# ~0.1 GB/s sustained, dwarfing the <=4x per-iteration compute gap.
+# Measured on gen-inst1e6-100-700 (cells/slots ~24: A is 512 MB vs
+# ~50 MB of BELL tables).
+DENSE_A_TRANSFER_BUDGET = 256 << 20
+
 
 def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
     if cfg.path != "auto":
@@ -90,6 +98,13 @@ def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
         DENSE_BELL_CROSSOVER_F64 if cfg.dtype == "float64" else DENSE_BELL_CROSSOVER
     )
     if cells > crossover * slots or not dense_fits:
+        return "bell"
+    if (
+        cfg.dtype != "float64"
+        and jax.default_backend() == "tpu"
+        and cells * 4 > DENSE_A_TRANSFER_BUDGET
+        and cells > 4 * slots
+    ):
         return "bell"
     # The fused Pallas kernels are the fastest dense path on TPU; they
     # need f32 compute and a recoverable mask (all ratings non-zero).
@@ -200,6 +215,15 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     return MFState(L=L, R=R)
 
 
+# Above this many glibc draws, the BELL device path generates the
+# initial factors ON DEVICE (ops/device_rng.py): host init pays ~10-40 s
+# of throttled page faults and the factor upload runs ~0.1 GB/s through
+# the remote attachment, while the device stream is bit-exact on the
+# integer outputs and within ~2 f32 ulp on the scaled values.  Every
+# byte-exact-golden instance sits orders of magnitude below this.
+DEVICE_INIT_MIN_DRAWS = 200_000_000
+
+
 def _factorize_bell_device(spec: ProblemSpec, cfg: RunConfig, state: MFState | None = None) -> MFState:
     """BELL training with the result left ON DEVICE in original row
     order (the degree un-permute is a device gather — exact).  Callers
@@ -207,15 +231,31 @@ def _factorize_bell_device(spec: ProblemSpec, cfg: RunConfig, state: MFState | N
     straight into the top-1 so multi-GB factor tables (inst1000-1e6's
     4 GB R) never cross the ~35 MB/s attachment link."""
     dt = _as_dtype(cfg.dtype)
-    if state is None:
-        state = init_factors(spec.users, spec.items, spec.features)
     data = make_bell_inputs(spec, dtype=dt)
-    Lp0, Rp0 = pad_factors_for_bell(state, data, dt)
+    draws = (spec.users + spec.items) * spec.features
+    if (
+        state is None
+        and draws >= DEVICE_INIT_MIN_DRAWS
+        and dt in (jnp.float32, jnp.bfloat16)
+    ):
+        from recsys_tpu.ops.device_rng import device_init_factors
+
+        L0, R0 = device_init_factors(spec.users, spec.items, spec.features)
+        # Degree-permute + append the zero pad row in ONE gather each:
+        # index ``size`` is out of range, mode='fill' writes the zero row.
+        upad = np.append(data.user_perm, spec.users).astype(np.int32)
+        ipad = np.append(data.item_perm, spec.items).astype(np.int32)
+        Lp0 = jnp.take(L0.astype(dt), jnp.asarray(upad), axis=0, mode="fill", fill_value=0)
+        Rp0 = jnp.take(R0.astype(dt), jnp.asarray(ipad), axis=0, mode="fill", fill_value=0)
+        del L0, R0
+    else:
+        if state is None:
+            state = init_factors(spec.users, spec.items, spec.features)
+        Lp0, Rp0 = pad_factors_for_bell(state, data, dt)
+        Lp0, Rp0 = jnp.asarray(Lp0), jnp.asarray(Rp0)
     tables = jax.tree.map(jnp.asarray, data.tables)
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
-    Lp, Rp = _train_bell(
-        jnp.asarray(Lp0), jnp.asarray(Rp0), tables, alpha2, spec.iters, data.meta
-    )
+    Lp, Rp = _train_bell(Lp0, Rp0, tables, alpha2, spec.iters, data.meta)
     L = jnp.take(Lp, jnp.asarray(data.inv_user_perm), axis=0)
     R = jnp.take(Rp, jnp.asarray(data.inv_item_perm), axis=0)
     return MFState(L=L, R=R)

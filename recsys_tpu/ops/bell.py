@@ -230,27 +230,72 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
     return total / (2.0 * spec.nnz)
 
 
+# A bucket whose gathered row set (w*n*k f32 cells) exceeds this is
+# processed in chunks: XLA materializes a gather consumed by both the
+# prediction and the gradient (measured: f32[2M,700] staged TWICE at
+# gen-inst1e6 shape -> 11.6 GB of HLO temps, HBM OOM), so huge buckets
+# split along n (independent output rows) until each piece's gather
+# fuses into its reductions within bounded memory.  Conformance-tested
+# instances sit far below the threshold and keep the exact single-shot
+# summation order.
+CHUNK_CELLS = 1 << 27  # 512 MB of f32 gather per piece
+
+
+def _delta_bucket(F_other, fo, idx, vals, alpha2):
+    """(n, k) gradient for one bucket. idx: (w, n) opposite-side row ids,
+    vals: (w, n) ratings (0 = padding slot -> zero row -> zero err)."""
+    w, n = idx.shape
+    k = F_other.shape[1]
+    if w * n * k <= CHUNK_CELLS or n == 1:
+        g = F_other[idx.reshape(-1)].reshape(w, n, k)
+        pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
+        err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
+        return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
+    # Split along n: each column range is an independent set of output
+    # rows (chunk count is static; shapes stay static per piece).
+    step = max(CHUNK_CELLS // (w * k), 1)
+    parts = []
+    for c0 in range(0, n, step):
+        c1 = min(c0 + step, n)
+        parts.append(
+            _delta_bucket(
+                F_other,
+                jax.lax.slice_in_dim(fo, c0, c1, axis=0),
+                jax.lax.slice_in_dim(idx, c0, c1, axis=1),
+                jax.lax.slice_in_dim(vals, c0, c1, axis=1),
+                alpha2,
+            )
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
 def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
-    """One side's gradient: a single gather of every slot's opposite
-    factor row, then per-bucket error recomputation and width reduction
-    over free views of the gathered buffer.  Returns the (n_nz, k)
-    gradient for the nonzero-degree prefix.
+    """One side's gradient: per-bucket fused gather-reduce over views of
+    one flat index array (one gather per side when small — many small
+    gathers pay a fixed ~0.13 ms cost; chunked for huge buckets, see
+    CHUNK_CELLS).  Returns the (n_nz, k) gradient for the nonzero-degree
+    prefix.
     """
     if not bounds:
         return None
     k = F_own.shape[1]
-    g_flat = F_other[cols_flat]  # (S, k): the side's ONE gather
+    S = cols_flat.shape[0]
     parts = []
     off = 0
+    g_flat = F_other[cols_flat] if S * k <= CHUNK_CELLS else None
     for (b0, b1, w), vals in zip(bounds, vals_t):
         n = b1 - b0
-        # Splitting the major dim of (S, k) is layout-free.
-        g = jax.lax.slice_in_dim(g_flat, off, off + w * n, axis=0).reshape(w, n, k)
-        off += w * n
         fo = jax.lax.slice_in_dim(F_own, b0, b1, axis=0)  # (n, k)
-        pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
-        err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
-        parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
+        if g_flat is not None:
+            # Splitting the major dim of (S, k) is layout-free.
+            g = jax.lax.slice_in_dim(g_flat, off, off + w * n, axis=0).reshape(w, n, k)
+            pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
+            err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
+            parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
+        else:
+            idx = jax.lax.slice_in_dim(cols_flat, off, off + w * n).reshape(w, n)
+            parts.append(_delta_bucket(F_other, fo, idx, vals, alpha2))
+        off += w * n
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 

@@ -18,6 +18,36 @@ def test_hugepage_zeros_large_and_small():
     assert not small.any()
 
 
+def test_pool_reuse_only_after_views_die():
+    # Same-size request while a view is live must NOT alias it; after
+    # the view dies the backing mmap is recycled (and re-zeroed).
+    from recsys_tpu.utils import hostmem
+
+    def backing(arr):  # walk the base chain to the mmap
+        o = arr
+        while getattr(o, "base", None) is not None:
+            o = o.base
+        return o
+
+    a = hugepage_zeros((1 << 20, 8), np.float64)
+    a[...] = 5.0
+    a_buf = id(backing(a))
+    b = hugepage_zeros((1 << 20, 8), np.float64)
+    assert id(backing(b)) != a_buf
+    assert not b.any()  # never handed dirty pages while distinct
+    b[...] = 9.0
+    del a
+    c = hugepage_zeros((1 << 20, 8), np.float64)
+    assert id(backing(c)) == a_buf  # recycled the freed buffer...
+    assert not c.any()  # ...and re-zeroed it
+    c[...] = 3.0
+    cur = {id(backing(c)), id(backing(b))}
+    del b, c
+    d = hugepage_empty((1 << 21, 4), np.float64)  # same nbytes, empty
+    assert id(backing(d)) in cur  # empty reuse skips the memset
+    assert d.shape == (1 << 21, 4)
+
+
 def test_take_cast_matches_fancy_index():
     rng = np.random.default_rng(3)
     src = rng.random((1000, 7))
