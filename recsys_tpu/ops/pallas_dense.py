@@ -51,10 +51,12 @@ def _round_up(n: int, m: int) -> int:
 
 
 # Mosaic's default scoped-VMEM limit is 16 MB; the physical VMEM on the
-# target (v5e) is far larger. Raising the limit lets the resident kernel
+# target (v5e) is 128 MB. Raising the limit lets the resident kernel
 # keep bigger problems fully on-chip (empirically validated; see
-# RESIDENT_VMEM_BUDGET below).
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# RESIDENT_VMEM_BUDGET below — gen-ML1M's kernel measures 103 MB scoped
+# incl. Mosaic stack, so the limit sits as close to physical as the
+# runtime allows).
+VMEM_LIMIT_BYTES = 112 * 1024 * 1024
 
 
 def _interpret(flag: bool | None) -> bool:
@@ -87,13 +89,12 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
     Ltout_ref[:] = Lt_ref[:]
     Rtout_ref[:] = Rt_ref[:]
 
-    def do_strip(s):
-        off = s * strip  # static: the strip loop is unrolled
+    def do_strip(off):
         # A may be stored bf16 (exactly, when every rating round-trips
         # bf16 — true for integer/half star scales), halving its VMEM
         # footprint; the error math stays f32.
-        a = A_ref[:, off : off + strip].astype(jnp.float32)  # (U, strip)
-        rt = Rtout_ref[:, off : off + strip]  # (K, strip)
+        a = A_ref[:, pl.dslice(off, strip)].astype(jnp.float32)  # (U, strip)
+        rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip)
         # E strip: masked error on the MXU. (A != 0) is the mask.
         pred = jax.lax.dot_general(
             Lu_ref[:], rt, (((1,), (0,)), ((), ())),
@@ -106,7 +107,7 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
             preferred_element_type=jnp.float32, precision=precision,
         )
         # (K, U) x (U, strip) -> (K, strip): streams K rows only.
-        dRt_ref[:, off : off + strip] = jax.lax.dot_general(
+        dRt_ref[:, pl.dslice(off, strip)] = jax.lax.dot_general(
             Ltout_ref[:], e, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
@@ -116,8 +117,19 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
         # read the pre-iteration factors; updates land after the strips.
         Lu_ref[:] = Ltout_ref[:].T
         dLt_ref[:] = jnp.zeros_like(dLt_ref)
-        for s in range(n_strips):  # static unroll: lets Mosaic pipeline strips
-            do_strip(s)
+        if n_strips <= 4:
+            # Static unroll: lets Mosaic pipeline the few strips.
+            for s in range(n_strips):
+                do_strip(s * strip)
+        else:
+            # Big unrolls spill: Mosaic kept every strip's (U, strip)
+            # temporaries live at once (measured 186 MB of register
+            # spill slots at gen-ML1M shape, 8 strips) — loop instead.
+            def strip_body(s, c):
+                do_strip(s * strip)
+                return c
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_strips), strip_body, jnp.int32(0))
         Ltout_ref[:] = Ltout_ref[:] + alpha2 * dLt_ref[:]
         Rtout_ref[:] = Rtout_ref[:] + alpha2 * dRt_ref[:]
         return carry
@@ -284,10 +296,10 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
     bv_ref[:] = jnp.full_like(bv_ref, neg)
     top_ref[:] = jnp.zeros_like(top_ref)
     Lu_ref[:] = Ltout_ref[:].T  # final factors for the B reconstruction
-    for s in range(I // strip):
-        off = s * strip
-        a = A_ref[:, off : off + strip]
-        rt = Rtout_ref[:, off : off + strip]
+
+    def top1_strip(off):
+        a = A_ref[:, pl.dslice(off, strip)]
+        rt = Rtout_ref[:, pl.dslice(off, strip)]
         b = jax.lax.dot_general(
             Lu_ref[:], rt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -299,6 +311,18 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
         take = val > bv_ref[:]
         bv_ref[:] = jnp.where(take, val, bv_ref[:])
         top_ref[:] = jnp.where(take, idx, top_ref[:])
+
+    n_strips = I // strip
+    if n_strips <= 4:
+        for s in range(n_strips):
+            top1_strip(s * strip)
+    else:
+        # Same spill guard as the training loop (big unrolls spill).
+        def strip_body(s, c):
+            top1_strip(s * strip)
+            return c
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_strips), strip_body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
@@ -440,11 +464,6 @@ def pad_factors_lane_major(spec, strip: int = 512, u_mult: int = 8, state=None):
     return L, R, (U, I, K)
 
 
-# XLA's TPU scatter compile time scales with the update count (measured:
-# ~90 s at 100k updates, >9 min at 1M through the remote attachment), so
-# device-side densify only pays below this; larger instances build A on
-# host and pay the transfer instead.
-DEVICE_DENSIFY_MAX_NNZ = 200_000
 
 
 def vals_bf16_exact(spec) -> bool:
@@ -458,25 +477,19 @@ def vals_bf16_exact(spec) -> bool:
 
 
 def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
-    """Densify the ratings on device when cheap (one scatter of nnz rows;
-    the COO arrays are the only host->device transfer), else on host."""
+    """Zero-padded dense A on device: host build (pooled THP staging)
+    + one upload.  A device-side scatter densify was measured at a FIXED
+    ~0.4 s of execution per call on this TPU regardless of nnz (15 or
+    100k updates alike) — slower than uploading any A the dense paths
+    accept (the >256 MB ones route to BELL, trainer.py), so the scatter
+    variant was removed."""
     import numpy as np
 
-    if spec.nnz > DEVICE_DENSIFY_MAX_NNZ:
-        from recsys_tpu.utils.hostmem import hugepage_zeros
+    from recsys_tpu.utils.hostmem import hugepage_zeros
 
-        a = hugepage_zeros((U, I), np.float32)
-        a[spec.rows, spec.cols] = spec.vals
-        return jnp.asarray(a, dtype)
-    rows = jnp.asarray(spec.rows, jnp.int32)
-    cols = jnp.asarray(spec.cols, jnp.int32)
-    vals = jnp.asarray(spec.vals.astype(np.float32))
-
-    @functools.partial(jax.jit, static_argnames=("U", "I", "dtype"))
-    def scatter(rows, cols, vals, U, I, dtype):
-        return jnp.zeros((U, I), dtype).at[rows, cols].set(vals.astype(dtype))
-
-    return scatter(rows, cols, vals, U=U, I=I, dtype=dtype)
+    a = hugepage_zeros((U, I), np.float32)
+    a[spec.rows, spec.cols] = spec.vals
+    return jnp.asarray(a, dtype)
 
 
 def resident_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
