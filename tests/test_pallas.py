@@ -126,6 +126,30 @@ def test_resident_top1_tie_break_lowest_index():
     np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
 
 
+def test_resident_many_strips_matches_oracle():
+    """n_strips > 4 switches the strip walk from static unroll to
+    fori_loop (the spill guard); both the training loop and the fused
+    top-1 must agree with the oracle through that branch."""
+    from recsys_tpu.engine.oracle import top1_numpy
+    from recsys_tpu.ops.pallas_dense import resident_train_top1
+
+    spec = generate_instance(32, 700, 8, 2, 8, iters=4, alpha=0.01, seed=7)
+    Lt, Rt, A, (U, I, K) = pad_for_pallas(spec, strip=128)
+    assert I // 128 > 4  # 700 -> 768 lanes: 6 strips, fori_loop branch
+    Ltp, Rtp, top1 = resident_train_top1(
+        Lt, Rt, A, iters=4, alpha2=2 * spec.alpha, strip=128, items_true=spec.items
+    )
+    ref = _reference_factors(spec, 4)
+    np.testing.assert_allclose(
+        np.asarray(Ltp)[: spec.features, : spec.users].T, ref.L, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(Rtp)[: spec.features, : spec.items].T, ref.R, rtol=2e-4, atol=2e-5
+    )
+    want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), spec)
+    np.testing.assert_array_equal(np.asarray(top1)[: spec.users, 0], want)
+
+
 def test_run_uses_fused_kernel_golden(small_spec):
     """trainer.run on a resident-size instance must still match the
     oracle output through the fused path (interpret mode on CPU)."""
