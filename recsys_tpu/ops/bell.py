@@ -240,6 +240,19 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
 # summation order.
 CHUNK_CELLS = 1 << 27  # 512 MB of f32 gather per piece
 
+# The gathered row set is consumed twice (prediction, then gradient);
+# a single gather therefore materializes as an HLO temp padded to the
+# 128-lane tile — a 6.4x HBM-bandwidth tax at k=20.  Re-gathering for
+# the second consumer behind an optimization_barrier (so CSE cannot
+# merge the two) lets each gather fuse into its own reduction with no
+# staged temp; the result is bit-identical (same rows, same arithmetic).
+# Off until A/B-measured on real TPU (scripts/ab_bell_regather.py).
+REGATHER_FOR_GRADIENT = False
+
+
+def _regather(F_other, idx_flat):
+    return F_other[jax.lax.optimization_barrier(idx_flat)]
+
 
 def _delta_bucket(F_other, fo, idx, vals, alpha2):
     """(n, k) gradient for one bucket. idx: (w, n) opposite-side row ids,
@@ -250,6 +263,8 @@ def _delta_bucket(F_other, fo, idx, vals, alpha2):
         g = F_other[idx.reshape(-1)].reshape(w, n, k)
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
+        if REGATHER_FOR_GRADIENT:
+            g = _regather(F_other, idx.reshape(-1)).reshape(w, n, k)
         return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
     # Split along n: each column range is an independent set of output
     # rows (chunk count is static; shapes stay static per piece).
@@ -283,6 +298,11 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     parts = []
     off = 0
     g_flat = F_other[cols_flat] if S * k <= CHUNK_CELLS else None
+    g2_flat = (
+        _regather(F_other, cols_flat)
+        if g_flat is not None and REGATHER_FOR_GRADIENT
+        else None
+    )
     for (b0, b1, w), vals in zip(bounds, vals_t):
         n = b1 - b0
         fo = jax.lax.slice_in_dim(F_own, b0, b1, axis=0)  # (n, k)
@@ -291,6 +311,8 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
             g = jax.lax.slice_in_dim(g_flat, off, off + w * n, axis=0).reshape(w, n, k)
             pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
             err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
+            if g2_flat is not None:
+                g = jax.lax.slice_in_dim(g2_flat, off, off + w * n, axis=0).reshape(w, n, k)
             parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
         else:
             idx = jax.lax.slice_in_dim(cols_flat, off, off + w * n).reshape(w, n)

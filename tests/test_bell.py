@@ -130,3 +130,24 @@ def test_choose_path_dtype_aware():
     ml = load_problem(str(FIXTURES / "instML100k.in"))
     assert trainer.choose_path(ml, RunConfig(dtype="float64")) == "bell"
     assert trainer.choose_path(ml, RunConfig(dtype="float32")) in ("pallas", "dense")
+
+
+def test_regather_variant_bit_identical(sparse_spec):
+    """REGATHER_FOR_GRADIENT re-gathers the same rows behind an
+    optimization_barrier — the factors must come out BIT-identical."""
+    from recsys_tpu.ops import bell as bell_mod
+
+    saved = bell_mod.REGATHER_FOR_GRADIENT
+    try:
+        bell_mod.REGATHER_FOR_GRADIENT = False
+        a = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        bell_mod.REGATHER_FOR_GRADIENT = True
+        # same (iters, meta) would hit the jit cache traced with the old
+        # flag; clear it so the variant actually retraces.
+        trainer._train_bell.clear_cache()
+        b = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+    finally:
+        bell_mod.REGATHER_FOR_GRADIENT = saved
+        trainer._train_bell.clear_cache()
+    np.testing.assert_array_equal(np.asarray(a.L), np.asarray(b.L))
+    np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
