@@ -497,7 +497,9 @@ def pad_factors_sharded_bell(state, data: ShardedBellData, dtype):
 
 def unpermute_factors_sharded(L, R, data: ShardedBellData):
     """Back to original row order, dropping per-block zero rows and the
-    block padding."""
+    block padding.  Host-side (single-process use; multi-process callers
+    need the device-side index map below — ``np.asarray`` on a
+    non-fully-addressable global array raises)."""
     m = data.meta
     L = np.asarray(L)
     R = np.asarray(R)
@@ -510,6 +512,18 @@ def unpermute_factors_sharded(L, R, data: ShardedBellData):
         unlay(L, data.inv_user_perm, len(data.user_perm), m.u_blk),
         unlay(R, data.inv_item_perm, len(data.item_perm), m.i_blk),
     )
+
+
+def sharded_unpermute_index(inv_perm: np.ndarray, blk: int, dim_pad: int) -> np.ndarray:
+    """int32 (dim_pad,) device gather map: row ``r`` of the standard
+    padded ``P(axis, None)`` factor layout <- block-strided permuted
+    position of original row ``r`` (padding rows read a per-block zero
+    row, keeping the self-masking-padding invariant)."""
+    dim = len(inv_perm)
+    idx = np.full(dim_pad, blk, np.int64)  # default: block 0's zero row
+    p = inv_perm.astype(np.int64)
+    idx[:dim] = (p // blk) * (blk + 1) + p % blk
+    return idx.astype(np.int32)
 
 
 def pad_factors_for_bell(state, data: BellData, dtype):

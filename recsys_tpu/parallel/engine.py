@@ -138,7 +138,7 @@ def _factorize_sharded_bell(spec: ProblemSpec, cfg: RunConfig, mesh, state: MFSt
     from recsys_tpu.ops.bell import (
         make_sharded_bell,
         pad_factors_sharded_bell,
-        unpermute_factors_sharded,
+        sharded_unpermute_index,
     )
     from recsys_tpu.parallel.step import make_bell_train
 
@@ -157,9 +157,18 @@ def _factorize_sharded_bell(spec: ProblemSpec, cfg: RunConfig, mesh, state: MFSt
     dev += [putter(v, s4) for v in t.uvals + t.ivals]
     train = make_bell_train(mesh, dt.type(2.0 * spec.alpha), spec.iters, data.meta)
     Lp, Rp = train(putter(L0, sL), putter(R0, sR), *dev)
-    Lh, Rh = unpermute_factors_sharded(Lp, Rp, data)
-    L1, R1 = shp.pad_factors(Lh, Rh, pu, pi)
-    return _MF(L=putter(L1, sL), R=putter(R1, sR))
+    # Un-permute ON DEVICE into the standard padded P('u'/'i', None)
+    # layout the top-1 pipeline expects: a host round-trip
+    # (np.asarray) would raise on a non-fully-addressable global array
+    # in multi-process runs, and wastes a download besides.  Padding
+    # rows read a per-block zero row, preserving self-masking padding.
+    m = data.meta
+    srep = NamedSharding(mesh, P())
+    uidx = putter(sharded_unpermute_index(data.inv_user_perm, m.u_blk, pu * m.u_blk), srep)
+    iidx = putter(sharded_unpermute_index(data.inv_item_perm, m.i_blk, pi * m.i_blk), srep)
+    L1 = jax.jit(jnp.take, static_argnames=("axis",), out_shardings=sL)(Lp, uidx, axis=0)
+    R1 = jax.jit(jnp.take, static_argnames=("axis",), out_shardings=sR)(Rp, iidx, axis=0)
+    return _MF(L=L1, R=R1)
 
 
 def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, precision: str, putter=jax.device_put) -> MFState:

@@ -87,3 +87,10 @@ def test_two_process_multihost_golden_coo(tmp_path):
     # Explicit sparse route: per-process bucket upload through
     # make_coo_seg_train (the multi-host form the huge instances need).
     _run_two_procs(tmp_path, "inst30-40-10-2-10", "coo", "12967")
+
+@pytest.mark.slow
+def test_two_process_multihost_golden_bell(tmp_path):
+    # Sharded BELL multi-process: per-process table upload + the
+    # device-side un-permute (a host round-trip would raise on the
+    # non-fully-addressable global factor arrays).
+    _run_two_procs(tmp_path, "inst30-40-10-2-10", "bell", "12971")
