@@ -169,8 +169,42 @@ def _as_dtype(name: str):
     return dt
 
 
-def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | None = None) -> MFState:
-    """Run the full GD loop on the default device; returns host factors."""
+# Exact-f64 work-per-iteration (update cells = 2*nnz*k) below which the
+# host CPU device beats TPU software-f64: tiny programs are op-overhead
+# bound (~50 us/iter emulated on TPU vs ~1-5 us/iter native-f64 XLA CPU;
+# measured: inst1 0.13 s CPU vs 5.81 s TPU, inst30-40 0.09 s vs 0.47 s,
+# while inst500-500 at 1.0M cells/iter already wins on TPU 3.4 s vs
+# 16.0 s).  The HLO is the same program the CPU test suite byte-matches
+# goldens with, so conformance is unchanged.
+F64_HOST_WORK_CELLS = 100_000
+F64_HOST_DENSE_CELLS = 1_000_000
+
+
+def _sub_mxu_host_device(spec: ProblemSpec, cfg: RunConfig):
+    """The host CPU device when a tiny exact-f64 problem would be
+    op-overhead bound on TPU (the reference's serial regime), else None."""
+    if cfg.dtype != "float64" or jax.default_backend() != "tpu":
+        return None
+    work = max(2 * spec.nnz, spec.users + spec.items) * spec.features
+    if work >= F64_HOST_WORK_CELLS or spec.users * spec.items >= F64_HOST_DENSE_CELLS:
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - CPU platform always present
+        return None
+
+
+def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | None = None, *, _host_routed: bool = False) -> MFState:
+    """Run the full GD loop on the default device; returns host factors.
+
+    Sub-MXU exact-f64 problems route to the host CPU device (see
+    ``_sub_mxu_host_device``); ``choose_path`` sees the CPU backend
+    inside the context, so the Pallas/TPU-only branches stay off."""
+    if not _host_routed:
+        host = _sub_mxu_host_device(spec, cfg)
+        if host is not None:
+            with jax.default_device(host):
+                return factorize(spec, cfg, state, _host_routed=True)
     dt = _as_dtype(cfg.dtype)
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
@@ -443,6 +477,15 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     """Factorize + recommend; returns (stdout payload, top1 indices)."""
     from recsys_tpu.io.writers import format_recommendations
 
+    host = _sub_mxu_host_device(spec, cfg)
+    if host is not None:
+        # Whole pipeline on the host device: factorize sees the CPU
+        # backend, and the factors come out CPU-committed so the top-1
+        # jits execute there too.
+        with jax.default_device(host):
+            state = factorize(spec, cfg, _host_routed=True)
+            top1 = recommend(state, spec, cfg)
+            return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     path = choose_path(spec, cfg)
     if (
         path == "pallas"

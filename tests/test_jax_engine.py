@@ -147,3 +147,23 @@ def test_bfloat16_dense_path_cpu_smoke():
     out64, top64 = trainer.run(spec, RunConfig(dtype="float64", path="dense"))
     agree = (top1 == top64).mean()
     assert agree >= 0.8, agree
+
+
+def test_sub_mxu_f64_routes_to_host(monkeypatch):
+    """Tiny exact-f64 problems route to the host CPU device when the
+    default backend is a TPU (sub-MXU work is op-overhead bound there);
+    big ones and speed dtypes stay on the accelerator."""
+    import jax
+
+    from recsys_tpu.engine.trainer import _sub_mxu_host_device
+    from recsys_tpu.io.parser import load_problem
+
+    tiny = load_problem(str(FIXTURES / "inst1.in"))
+    big = load_problem(str(FIXTURES / "instML100k.in"))
+    # On the CPU test backend nothing routes (already on host).
+    assert _sub_mxu_host_device(tiny, RunConfig(dtype="float64")) is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dev = _sub_mxu_host_device(tiny, RunConfig(dtype="float64"))
+    assert dev is not None and dev.platform == "cpu"
+    assert _sub_mxu_host_device(big, RunConfig(dtype="float64")) is None
+    assert _sub_mxu_host_device(tiny, RunConfig(dtype="float32")) is None
