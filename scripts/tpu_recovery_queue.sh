@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-2 TPU work queue: run the moment the attachment recovers.
+# Each stage is its own process (x64 is process-global) with a generous
+# timeout so no client is ever killed mid-compile.  Logs append to
+# /tmp/tpu_queue.log; bench rows append to bench_results.jsonl.
+set -x
+cd /root/repo
+LOG=/tmp/tpu_queue.log
+J=bench_results.jsonl
+
+echo "=== queue start $(date)" >> $LOG
+
+# 1. gen-ML1M f32 (validates the fori_loop spill fix; new program shape)
+timeout 3000 python -u -m recsys_tpu.bench.sweep --dtype float32 \
+  --instances gen-instML1M --jsonl $J >> $LOG 2>&1
+
+# 2. A/B the BELL re-gather on the sparse stress instance
+timeout 3000 python -u scripts/ab_bell_regather.py \
+  tests/fixtures/inst50000-5000-100-2-5.in 300 >> $LOG 2>&1
+
+# 3. toy f64 rows with host-CPU routing (own x64 process)
+timeout 1800 python -u -m recsys_tpu.bench.sweep --dtype float64 \
+  --instances inst0,inst1,inst2,inst30-40-10-2-10 --jsonl $J >> $LOG 2>&1
+
+# 4. headline bench sanity (what the driver runs at round end)
+timeout 1800 python -u bench.py >> $LOG 2>&1
+
+echo "=== queue done $(date)" >> $LOG
