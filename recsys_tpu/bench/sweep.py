@@ -45,9 +45,13 @@ REFERENCE_S = {
     "instML1M": (125.201, 8.60),
     # Cluster-only instances: the reference never published serial
     # numbers for these (they only ran at MPI 16-64 ranks,
-    # report-mpi.pdf Table 1); best-published is the 16-rank time.
+    # report-mpi.pdf Table 1); best-published is the best across
+    # Tables 1-3 (cluster MPI, local MPI, hybrid).
     "inst1000-1e6-1000-1-3": (None, 211.80),
     "inst1e6-100-700-1-3": (None, 87.42),
+    "inst1000-80000-20-10-1000": (None, 19.04),
+    "inst20000-10000-40-2-50": (None, 56.07),
+    "inst60000-2000-200-10-20": (None, 11.05),
 }
 
 DEFAULT_INSTANCES = [
@@ -67,6 +71,12 @@ DEFAULT_INSTANCES = [
     # gen-* analogue of the missing inst1e6-100-700-1-3 blob.
     "inst1000-1e6-1000-1-3",
     "gen-inst1e6-100-700-1-3",
+    # The three orphan-golden shapes (outputs survive upstream, inputs
+    # missing): gen-* analogues with iteration counts derived from the
+    # published MPI-1 walls (GEN_SPECS, io/generator.py).
+    "gen-inst1000-80000-20-10-1000",
+    "gen-inst20000-10000-40-2-50",
+    "gen-inst60000-2000-200-10-20",
 ]
 
 # f64 exact mode: sparse instances run BELL at any size; instances whose
@@ -236,8 +246,14 @@ def main(argv=None):
     rows = []
     for name in names:
         if not os.path.exists(os.path.join(_fixture_dir(), f"{name}.in")):
-            print(f"skip {name}: no .in fixture", file=sys.stderr)
-            continue
+            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+
+            if name in GEN_SPECS:
+                print(f"materializing {name}.in from GEN_SPECS", file=sys.stderr)
+                materialize_gen_fixture(name, _fixture_dir())
+            else:
+                print(f"skip {name}: no .in fixture", file=sys.stderr)
+                continue
         try:
             r = run_instance(name, args.dtype, args.repeats)
         except Exception as e:  # noqa: BLE001

@@ -60,6 +60,59 @@ def generate_instance(
     )
 
 
+# Canonical parameters of the committed gen-* fixtures (scale analogues
+# of the five .in blobs missing upstream, tests/fixtures/README.md).
+# Their .in files are regenerable from this table BYTE-exactly (verified
+# by diff), so only the .out goldens — produced by the reference's own C
+# binary via scripts/crossval_reference.py — live in git.  Two round-1
+# fixtures predate this table's generator version and are committed
+# as files instead (see tests/fixtures/.gitignore).
+GEN_SPECS: dict[str, dict] = {
+    # ML1M's shape/nnz/hyperparameters (6040x3952, ~1M ratings, k=30).
+    "gen-instML1M": dict(
+        users=6040, items=3952, features=30, min_nz_row=20, max_nz_row=311,
+        iters=3000, alpha=1e-4, seed=1000209,
+    ),
+    # The 1M-user cluster instance (report-mpi.pdf Table 1, MPI-16 87.42 s);
+    # iters/alpha follow the surviving inst1000-1e6 fixture's header.
+    "gen-inst1e6-100-700-1-3": dict(
+        users=1_000_000, items=100, features=700, min_nz_row=1, max_nz_row=3,
+        iters=10, alpha=1e-5, seed=42,
+    ),
+    # The remaining orphan-golden shapes (outputs survive upstream, inputs
+    # do not; published MPI times in report-mpi.pdf Tables 1-3).  Their
+    # iteration counts are set from the published MPI-1 Ryzen walls and
+    # the ML100k serial updates/s anchor (SURVEY §6.5 derivation), rounded
+    # UP so the comparison never flatters this framework.
+    "gen-inst1000-80000-20-10-1000": dict(
+        users=1000, items=80_000, features=20, min_nz_row=10, max_nz_row=1000,
+        iters=3000, alpha=1e-4, seed=42,
+    ),
+    "gen-inst20000-10000-40-2-50": dict(
+        users=20_000, items=10_000, features=40, min_nz_row=2, max_nz_row=50,
+        iters=1000, alpha=1e-4, seed=42,
+    ),
+    "gen-inst60000-2000-200-10-20": dict(
+        users=60_000, items=2_000, features=200, min_nz_row=10, max_nz_row=20,
+        iters=200, alpha=1e-4, seed=42,
+    ),
+}
+
+
+def materialize_gen_fixture(name: str, fixtures_dir) -> str:
+    """Write ``<fixtures_dir>/<name>.in`` from GEN_SPECS if absent;
+    returns the path.  KeyError for unknown names."""
+    import os
+
+    from recsys_tpu.io.parser import save_problem
+
+    path = os.path.join(str(fixtures_dir), f"{name}.in")
+    if not os.path.exists(path):
+        spec = generate_instance(**GEN_SPECS[name])
+        save_problem(spec, path)
+    return path
+
+
 def parse_instance_name(name: str):
     """'inst<u>-<i>-<k>-<min>-<max>' -> dims tuple (ValueError otherwise)."""
     if not name.startswith("inst"):

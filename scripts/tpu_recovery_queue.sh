@@ -22,6 +22,15 @@ timeout 3000 python -u scripts/ab_bell_regather.py \
 timeout 1800 python -u -m recsys_tpu.bench.sweep --dtype float64 \
   --instances inst0,inst1,inst2,inst30-40-10-2-10 --jsonl $J >> $LOG 2>&1
 
+# 3b. the three orphan-golden shape analogues, f32 then f64 (the f64
+# rows byte-compare against the reference binary's own goldens)
+timeout 3000 python -u -m recsys_tpu.bench.sweep --dtype float32 \
+  --instances gen-inst1000-80000-20-10-1000,gen-inst20000-10000-40-2-50,gen-inst60000-2000-200-10-20 \
+  --jsonl $J >> $LOG 2>&1
+timeout 3600 python -u -m recsys_tpu.bench.sweep --dtype float64 \
+  --instances gen-inst1000-80000-20-10-1000,gen-inst20000-10000-40-2-50,gen-inst60000-2000-200-10-20 \
+  --jsonl $J >> $LOG 2>&1
+
 # 4. headline bench sanity (what the driver runs at round end)
 timeout 1800 python -u bench.py >> $LOG 2>&1
 
