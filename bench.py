@@ -64,8 +64,41 @@ def timed_run(spec, cfg, repeats=2):
     return min(times), out
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Probe backend init in a subprocess: a dead TPU relay makes
+    jax.devices() block for ~25 min before raising UNAVAILABLE, which
+    would eat the whole watchdog budget."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False  # healthy init takes seconds; a dead relay blocks
+    return r.returncode == 0
+
+
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        try:
+            ok = _backend_alive()
+        except Exception:
+            ok = False
+        if not ok:
+            # Dead attachment: record an honest CPU-backend row (the
+            # "backend" field says so) instead of nothing.
+            print(
+                "bench.py: accelerator backend unavailable — falling back to CPU",
+                file=sys.stderr,
+                flush=True,
+            )
+            jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_enable_x64", True)
 
