@@ -64,22 +64,29 @@ def timed_run(spec, cfg, repeats=2):
     return min(times), out
 
 
-def _backend_alive(timeout_s: int = 180) -> bool:
-    """Probe backend init in a subprocess: a dead TPU relay makes
-    jax.devices() block for ~25 min before raising UNAVAILABLE, which
-    would eat the whole watchdog budget."""
-    import subprocess
+def _backend_alive() -> bool:
+    """Kill-free liveness check of this environment's TPU path: the
+    axon backend reaches the chip only through a local socket relay
+    (`/root/.tpu_init.py`); when the relay is dead every port refuses
+    instantly, while backend init would block ~25 min before raising —
+    eating the whole watchdog budget.  A busy-but-alive server accepts
+    the connection: we proceed normally and let the watchdog arbitrate
+    (never kill a connected client — see CLAUDE.md attachment notes)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not the relayed-TPU environment
+    import socket
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True,
-            timeout=timeout_s,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return False  # healthy init takes seconds; a dead relay blocks
-    return r.returncode == 0
+    for port in (8082, 8083, 8087, 8092):
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
 
 
 def main():

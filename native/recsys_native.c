@@ -12,6 +12,7 @@
  */
 
 #include <math.h>
+#include <stdio.h>
 #include <stdint.h>
 #include <stddef.h>
 
@@ -190,10 +191,20 @@ long rs_format_entries(long nnz, const int32_t *rows, const int32_t *cols,
         *q++ = ' ';
         double v = vals[n];
         if (v < 0) { *q++ = '-'; v = -v; }
-        /* scale to micro-units; nearbyint = round-half-even, matching
-         * the numpy fallback writer's %.6f on ties (the scaling multiply
-         * itself rounds once, same as both paths' %.6f inputs) */
-        uint64_t u = (uint64_t)nearbyint(v * 1e6);
+        /* Fast path only when v*1e6 is exactly an integer (true for
+         * every rating this repo generates: {1..5} and half-stars):
+         * the product is then exact and formatting is unambiguous.
+         * Otherwise defer to printf's %.6f, which rounds the EXACT
+         * binary value — computing round(v*1e6) double-rounds and can
+         * differ from printf by 1e-6 at tie boundaries, breaking
+         * byte-identity with the numpy fallback writer. */
+        double scaled = v * 1e6;
+        if (!(scaled < 9e15) || scaled != floor(scaled)) {
+            q += sprintf(q, "%.6f", v);
+            *q++ = '\n';
+            continue;
+        }
+        uint64_t u = (uint64_t)scaled;
         uint64_t whole = u / 1000000, frac = u % 1000000;
         if (whole == 0) *q++ = '0';
         else {

@@ -114,7 +114,10 @@ def run_instance(name: str, dtype: str, repeats: int):
         agree = sum(x == y for x, y in zip(olines, glines)) / max(len(glines), 1)
         exact = out == golden
     wall = min(walls)
-    hbm_peak_mb = _device_peak_mb() or _program_hbm_mb(spec, cfg)
+    # XLA's per-program memory analysis, not runtime memory_stats: the
+    # runtime figure is a process-lifetime high-water mark that would
+    # attribute an earlier larger instance's peak to every later row.
+    hbm_peak_mb = _program_hbm_mb(spec, cfg)
     vmem_mb = _resident_vmem_mb(spec, cfg)
     return {
         "hbm_peak_mb": hbm_peak_mb,
@@ -241,19 +244,23 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     names = args.instances.split(",") if args.instances else DEFAULT_INSTANCES
+    # Materialize regenerable gen-* fixtures FIRST: the f64 feasibility
+    # filter below reads the .in files.
+    from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+
+    for name in names:
+        if name in GEN_SPECS and not os.path.exists(
+            os.path.join(_fixture_dir(), f"{name}.in")
+        ):
+            print(f"materializing {name}.in from GEN_SPECS", file=sys.stderr)
+            materialize_gen_fixture(name, _fixture_dir())
     if args.dtype == "float64":
         names = [n for n in names if _f64_feasible(n, args.f64_cell_limit)]
     rows = []
     for name in names:
         if not os.path.exists(os.path.join(_fixture_dir(), f"{name}.in")):
-            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
-
-            if name in GEN_SPECS:
-                print(f"materializing {name}.in from GEN_SPECS", file=sys.stderr)
-                materialize_gen_fixture(name, _fixture_dir())
-            else:
-                print(f"skip {name}: no .in fixture", file=sys.stderr)
-                continue
+            print(f"skip {name}: no .in fixture", file=sys.stderr)
+            continue
         try:
             r = run_instance(name, args.dtype, args.repeats)
         except Exception as e:  # noqa: BLE001
@@ -268,21 +275,6 @@ def main(argv=None):
         with open(args.out, "w") as f:
             f.write(format_markdown(rows))
     return 0
-
-
-def _device_peak_mb():
-    """Device peak-HBM high-water mark in MB (None if the runtime does
-    not expose memory_stats — the CPU backend and the tunneled TPU
-    attachment both return None; see _program_hbm_mb for the
-    compiler-reported figure used instead)."""
-    import jax
-
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use")
-        return None if peak is None else round(peak / 1e6, 1)
-    except Exception:  # noqa: BLE001
-        return None
 
 
 def _program_hbm_mb(spec, cfg):
@@ -306,14 +298,16 @@ def _resident_vmem_mb(spec, cfg):
 
     if trainer.choose_path(spec, cfg) != "pallas":
         return None
-    strip = 512 if spec.items * 8 > 4096 else 128
-    choices = [4] + ([2] if pallas_dense.vals_bf16_exact(spec) else [])
-    for a_bytes in choices:
-        if pallas_dense.resident_fits(spec, strip=strip, a_bytes=a_bytes):
-            return round(
-                pallas_dense.resident_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) / 1e6, 1
-            )
-    return None
+    strip = pallas_dense.strip_for(spec)
+    a_dtype = trainer._resident_a_dtype(spec, strip)  # the engine's own choice
+    if a_dtype is None:
+        return None
+    import jax.numpy as jnp
+
+    a_bytes = jnp.dtype(a_dtype).itemsize
+    return round(
+        pallas_dense.resident_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) / 1e6, 1
+    )
 
 
 def _f64_feasible(name: str, cell_limit: int) -> bool:

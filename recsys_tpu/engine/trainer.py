@@ -83,10 +83,12 @@ DENSE_A_TRANSFER_BUDGET = 256 << 20
 def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
     if cfg.path != "auto":
         return cfg.path
-    if spec.nnz == 0:
-        return "dense"
     itemsize = jnp.dtype(cfg.dtype).itemsize
     dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES
+    if spec.nnz == 0:
+        # Empty problem: gradients are identically zero; COO's empty
+        # tables avoid materializing a users*items A that may not fit.
+        return "dense" if dense_fits else "coo"
     # Work comparison: dense touches users*items cells per iteration on
     # the MXU; BELL touches ~2*nnz padded slots per iteration at gather
     # bandwidth.  The crossover is dtype-aware: exact f64 has no MXU
@@ -208,11 +210,15 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     dt = _as_dtype(cfg.dtype)
     if state is None:
         state = init_factors(spec.users, spec.items, spec.features)
-    L0 = jnp.asarray(state.L, dtype=dt)
-    R0 = jnp.asarray(state.R, dtype=dt)
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
 
     path = choose_path(spec, cfg)
+    if path in ("dense", "coo"):
+        # Only these branches consume the raw factor tables; the
+        # pallas/bell paths re-lay them out and must not pay an extra
+        # full-table upload first (multi-GB at extreme shapes).
+        L0 = jnp.asarray(state.L, dtype=dt)
+        R0 = jnp.asarray(state.R, dtype=dt)
     if path == "pallas":
         if not pallas_dense.mask_is_implicit(spec):
             raise ValueError("pallas path requires all ratings non-zero (implicit mask)")
@@ -326,7 +332,7 @@ def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False):
 
 
 def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
-    strip = 512 if spec.items * 8 > 4096 else 128
+    strip = pallas_dense.strip_for(spec)
     alpha2 = 2.0 * spec.alpha
     a_dtype = _resident_a_dtype(spec, strip)
     if a_dtype is not None:
@@ -364,30 +370,35 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
     None for paths without a single train program (fused-kernel runs
     report their VMEM estimate instead)."""
     dt = _as_dtype(cfg.dtype)
-    state = init_factors(spec.users, spec.items, spec.features)
-    L0 = jnp.asarray(state.L, dtype=dt)
-    R0 = jnp.asarray(state.R, dtype=dt)
-    alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
+
+    # Lower from avals only: real arrays (and the glibc factor init —
+    # ~1e9 draws at extreme shapes) are never built or uploaded for a
+    # statistic; .lower() produces the identical memory analysis.
+    def sds(a):
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    k = spec.features
+    L0 = jax.ShapeDtypeStruct((spec.users, k), dt)
+    R0 = jax.ShapeDtypeStruct((spec.items, k), dt)
+    alpha2 = jax.ShapeDtypeStruct((), dt)
     path = choose_path(spec, cfg)
     if path == "bell":
         data = make_bell_inputs(spec, dtype=dt)
-        Lp, Rp = pad_factors_for_bell(state, data, dt)
-        tables = jax.tree.map(jnp.asarray, data.tables)
+        tables = jax.tree.map(sds, data.tables)
         lowered = _train_bell.lower(
-            jnp.asarray(Lp), jnp.asarray(Rp), tables, alpha2, spec.iters, data.meta
+            jax.ShapeDtypeStruct((data.meta.user.size + 1, k), dt),
+            jax.ShapeDtypeStruct((data.meta.item.size + 1, k), dt),
+            tables, alpha2, spec.iters, data.meta,
         )
     elif path == "dense":
-        A, M = make_dense_inputs(spec, dtype=dt)
-        lowered = _train_dense.lower(
-            L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters
-        )
+        am = jax.ShapeDtypeStruct((spec.users, spec.items), dt)
+        lowered = _train_dense.lower(L0, R0, am, am, alpha2, spec.iters)
     elif path == "pallas":
-        strip = 512 if spec.items * 8 > 4096 else 128
+        strip = pallas_dense.strip_for(spec)
         a_dtype = _resident_a_dtype(spec, strip)
         with jax.enable_x64(False):
             if a_dtype is not None:
                 Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
-                A = jnp.zeros((U, I), a_dtype)
                 fn = jax.jit(
                     partial(
                         pallas_dense.resident_train,
@@ -395,19 +406,34 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
                         interpret=None, precision="highest",
                     )
                 )
-                lowered = fn.lower(jnp.asarray(Lt), jnp.asarray(Rt), A)
+                lowered = fn.lower(
+                    sds(Lt), sds(Rt), jax.ShapeDtypeStruct((U, I), a_dtype)
+                )
             else:
                 bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
                 bi = 1024 if spec.items >= 1024 else 128
                 L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu)
-                A = jnp.zeros((U, I), jnp.float32)
                 lowered = pallas_dense.tiled_train.lower(
-                    jnp.asarray(L), jnp.asarray(R), A, jnp.float32(2.0 * spec.alpha),
+                    sds(L), sds(R), jax.ShapeDtypeStruct((U, I), jnp.float32),
+                    jax.ShapeDtypeStruct((), jnp.float32),
                     iters=spec.iters, bu=bu, bi=bi, precision="highest",
                 )
     else:
-        data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
-        lowered = _train_coo_cumsum.lower(L0, R0, data, alpha2, spec.iters)
+        # Mirror factorize()'s form selection: prefix-sum for speed
+        # dtypes with enough entries, the scatter form otherwise.
+        use_cumsum = (
+            cfg.dtype in ("float32", "bfloat16")
+            and jax.default_backend() == "tpu"
+            and spec.nnz >= spec.users + spec.items
+        )
+        if use_cumsum:
+            data = jax.tree.map(sds, make_coo_seg_inputs(spec, dtype=dt))
+            lowered = _train_coo_cumsum.lower(L0, R0, data, alpha2, spec.iters)
+        else:
+            data = jax.tree.map(sds, make_coo_inputs(spec, dtype=dt))
+            lowered = _train_coo.lower(
+                L0, R0, data, alpha2, spec.iters, spec.users, spec.items
+            )
     ma = lowered.compile().memory_analysis()
     if ma is None:
         return None
@@ -460,7 +486,7 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
 
 def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
-    strip = 512 if spec.items * 8 > 4096 else 128
+    strip = pallas_dense.strip_for(spec)
     with jax.enable_x64(False):
         a_dtype = _resident_a_dtype(spec, strip, fused_top1=True)
         Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
@@ -489,7 +515,7 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     path = choose_path(spec, cfg)
     if (
         path == "pallas"
-        and _resident_a_dtype(spec, 512 if spec.items * 8 > 4096 else 128, fused_top1=True)
+        and _resident_a_dtype(spec, pallas_dense.strip_for(spec), fused_top1=True)
         is not None
         # Same implicit-mask gate as factorize(): an explicit path="pallas"
         # on a spec with a zero-valued rating must raise there, not

@@ -59,6 +59,12 @@ def _round_up(n: int, m: int) -> int:
 VMEM_LIMIT_BYTES = 112 * 1024 * 1024
 
 
+def strip_for(spec) -> int:
+    """Resident-kernel item-strip width: 512 lanes once the item
+    dimension is big enough to amortize it, 128 for small problems."""
+    return 512 if spec.items * 8 > 4096 else 128
+
+
 def _interpret(flag: bool | None) -> bool:
     """Mosaic needs real TPU hardware; anywhere else run interpreted
     (the CPU test mesh exercises the same kernel logic)."""

@@ -109,9 +109,15 @@ def make_rated_table(spec: ProblemSpec) -> np.ndarray:
     P = max(int(counts.max()) if counts.size else 0, 1)
     start = np.zeros(spec.users + 1, np.int64)
     np.cumsum(counts, out=start[1:])
-    slot = np.arange(spec.nnz, dtype=np.int64) - start[spec.rows]
+    # Group per user without assuming row-major entry order (the stable
+    # sort is a no-op for sorted input): an unsorted spec would otherwise
+    # produce negative slots that wrap via fancy indexing and silently
+    # mask the wrong items.
+    order = np.argsort(spec.rows, kind="stable")
+    rows_s = spec.rows[order]
+    slot = np.arange(spec.nnz, dtype=np.int64) - start[rows_s]
     table = np.full((spec.users, P), -1, np.int32)
-    table[spec.rows, slot] = spec.cols
+    table[rows_s, slot] = spec.cols[order]
     return table
 
 

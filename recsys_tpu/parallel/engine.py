@@ -40,11 +40,12 @@ def _choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int) -> str:
 
     if cfg.path != "auto":
         return cfg.path
-    if spec.nnz == 0:
-        return "dense"
     itemsize = jnp.dtype(cfg.dtype).itemsize
     total = 2 * spec.users * spec.items * itemsize
     dense_fits = total <= DENSE_BUDGET_BYTES * n_devices
+    if spec.nnz == 0:
+        # Empty problem: avoid materializing unfittable dense A blocks.
+        return "dense" if dense_fits else "coo"
     cells = spec.users * spec.items
     slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
     crossover = (

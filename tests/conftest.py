@@ -28,16 +28,6 @@ jax.config.update("jax_enable_x64", True)
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
-def pytest_sessionstart(session):
-    """gen-*.in fixtures are regenerable (not in git); materialize any
-    that a fresh clone is missing so golden tests find them."""
-    from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
-
-    for name in GEN_SPECS:
-        if (FIXTURES / f"{name}.out").exists() and not (FIXTURES / f"{name}.in").exists():
-            materialize_gen_fixture(name, FIXTURES)
-
-
 @pytest.fixture(scope="session")
 def fixtures_dir():
     return FIXTURES

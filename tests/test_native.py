@@ -113,3 +113,28 @@ def test_native_format_entries_roundtrip():
     assert len(lines) == 200
     ref_lines = [f"{r} {c} {v:.6f}" for r, c, v in zip(rows, cols, vals)]
     assert lines == ref_lines
+
+
+def test_native_format_matches_printf_on_ties():
+    """The native writer must byte-match %.6f (the numpy fallback) even
+    on values where round(v*1e6) double-rounds — printf rounds the EXACT
+    binary value; the fast path only fires when v*1e6 is exactly
+    integral."""
+    import numpy as np
+
+    from recsys_tpu.io import _native
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.uniform(0, 5, 500),                  # arbitrary fractions
+        rng.integers(1, 6, 100).astype(float),   # exact fast path
+        np.array([0.1235705, 2.0000005, 0.0000005, 4.9999995]),  # ties
+        rng.uniform(0, 5, 200).astype(np.float32).astype(np.float64),
+    ])
+    rows = np.zeros(len(vals), np.int32)
+    cols = np.arange(len(vals), dtype=np.int32)
+    out = _native.format_entries(rows, cols, vals)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    want = "".join(f"0 {c} {v:.6f}\n" for c, v in zip(cols, vals)).encode()
+    assert out == want
