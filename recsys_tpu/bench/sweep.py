@@ -320,6 +320,7 @@ def _f64_feasible(name: str, cell_limit: int) -> bool:
 
     path = os.path.join(_fixture_dir(), f"{name}.in")
     if not os.path.exists(path):
+        print(f"skip {name}: no .in fixture (f64 filter)", file=sys.stderr)
         return False
     spec = load_problem(path)
     # Even sparse-path f64 needs both factor tables (plus the device

@@ -161,6 +161,29 @@ def _top1_rated(L, R_padded, rated, block_items, items_true):
     return top1_rated_blocked(L, R_padded, rated, block_items, items_true)
 
 
+def _coo_use_cumsum(spec: ProblemSpec, cfg: RunConfig) -> bool:
+    """Speed dtypes trade the scatter-add segment reduction for the
+    prefix-sum form (exact f64 keeps the cancellation-free scatter).
+    The prefix form gathers (users + items) boundary rows per step, so
+    it only wins when nnz dominates the dimensions; hyper-sparse
+    huge-dimension instances (1000x1M with 2k entries) stay on scatter,
+    where 2k scattered rows are trivial.  Shared by factorize() and
+    train_memory_analysis so the reported program is the timed one."""
+    return (
+        cfg.dtype in ("float32", "bfloat16")
+        and jax.default_backend() == "tpu"
+        and spec.nnz >= spec.users + spec.items
+    )
+
+
+def _tiled_dims(spec: ProblemSpec) -> tuple[int, int]:
+    """(bu, bi) tile sizes of the two-pass tiled kernel; shared by the
+    training path and the memory analysis."""
+    bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
+    bi = 1024 if spec.items >= 1024 else 128
+    return bu, bi
+
+
 def _as_dtype(name: str):
     dt = jnp.dtype(name)
     if dt == jnp.float64 and not getattr(jax.config, "jax_enable_x64", False):
@@ -200,23 +223,26 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     """Run the full GD loop on the default device; returns host factors.
 
     Sub-MXU exact-f64 problems route to the host CPU device (see
-    ``_sub_mxu_host_device``); ``choose_path`` sees the CPU backend
-    inside the context, so the Pallas/TPU-only branches stay off."""
+    ``_sub_mxu_host_device``).  NOTE: jax.default_backend() still
+    reports the TPU inside the context (it ignores default_device) —
+    the routed paths stay correct because host routing is f64-only and
+    every backend-gated branch also requires a speed dtype."""
     if not _host_routed:
         host = _sub_mxu_host_device(spec, cfg)
         if host is not None:
             with jax.default_device(host):
                 return factorize(spec, cfg, state, _host_routed=True)
     dt = _as_dtype(cfg.dtype)
-    if state is None:
-        state = init_factors(spec.users, spec.items, spec.features)
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
 
     path = choose_path(spec, cfg)
     if path in ("dense", "coo"):
-        # Only these branches consume the raw factor tables; the
-        # pallas/bell paths re-lay them out and must not pay an extra
-        # full-table upload first (multi-GB at extreme shapes).
+        # Only these branches consume the raw factor tables (the
+        # pallas/bell paths re-lay them out — and the bell path can
+        # generate them ON DEVICE — so they must not pay a host init
+        # plus a full-table upload first; multi-GB at extreme shapes).
+        if state is None:
+            state = init_factors(spec.users, spec.items, spec.features)
         L0 = jnp.asarray(state.L, dtype=dt)
         R0 = jnp.asarray(state.R, dtype=dt)
     if path == "pallas":
@@ -233,18 +259,7 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
         st = _factorize_bell_device(spec, cfg, state)
         return MFState(L=np.asarray(st.L), R=np.asarray(st.R))
     elif path == "coo":
-        # Speed dtypes trade the scatter-add segment reduction for the
-        # prefix-sum form (exact f64 keeps the cancellation-free scatter).
-        # The prefix form gathers (users + items) boundary rows per step,
-        # so it only wins when nnz dominates the dimensions; hyper-sparse
-        # huge-dimension instances (1000x1M with 2k entries) stay on
-        # scatter, where 2k scattered rows are trivial.
-        use_cumsum = (
-            cfg.dtype in ("float32", "bfloat16")
-            and jax.default_backend() == "tpu"
-            and spec.nnz >= spec.users + spec.items
-        )
-        if use_cumsum:
+        if _coo_use_cumsum(spec, cfg):
             data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
             L, R = _train_coo_cumsum(L0, R0, data, alpha2, spec.iters)
         else:
@@ -346,8 +361,7 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
             L=np.asarray(Ltp)[: spec.features, : spec.users].T,
             R=np.asarray(Rtp)[: spec.features, : spec.items].T,
         )
-    bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
-    bi = 1024 if spec.items >= 1024 else 128
+    bu, bi = _tiled_dims(spec)
     L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu, state=state)
     A = pallas_dense.device_dense_A(spec, U, I)
     # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
@@ -410,8 +424,7 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
                     sds(Lt), sds(Rt), jax.ShapeDtypeStruct((U, I), a_dtype)
                 )
             else:
-                bu = 512 if spec.users >= 512 else 8 * max(1, spec.users // 8)
-                bi = 1024 if spec.items >= 1024 else 128
+                bu, bi = _tiled_dims(spec)
                 L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu)
                 lowered = pallas_dense.tiled_train.lower(
                     sds(L), sds(R), jax.ShapeDtypeStruct((U, I), jnp.float32),
@@ -419,14 +432,7 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
                     iters=spec.iters, bu=bu, bi=bi, precision="highest",
                 )
     else:
-        # Mirror factorize()'s form selection: prefix-sum for speed
-        # dtypes with enough entries, the scatter form otherwise.
-        use_cumsum = (
-            cfg.dtype in ("float32", "bfloat16")
-            and jax.default_backend() == "tpu"
-            and spec.nnz >= spec.users + spec.items
-        )
-        if use_cumsum:
+        if _coo_use_cumsum(spec, cfg):
             data = jax.tree.map(sds, make_coo_seg_inputs(spec, dtype=dt))
             lowered = _train_coo_cumsum.lower(L0, R0, data, alpha2, spec.iters)
         else:

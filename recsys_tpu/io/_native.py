@@ -17,9 +17,29 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "recsys_native.c")
 _SO = os.path.join(os.path.dirname(_SRC), "librecsys_native.so")
+_HOSTSIG = _SO + ".host"
 _lock = threading.Lock()
 _lib = None
 _failed = False
+
+
+def _host_signature() -> str:
+    """CPU-feature fingerprint of this host: a -march=native .so built
+    elsewhere (repo copied between machines) could SIGILL here, so a
+    cached library is only reused when the fingerprint matches."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:16]
 
 
 def _build() -> bool:
@@ -36,6 +56,8 @@ def _build() -> bool:
                     timeout=120,
                 )
                 if r.returncode == 0:
+                    with open(_HOSTSIG, "w") as f:
+                        f.write(_host_signature())
                     return True
             except (OSError, subprocess.TimeoutExpired):
                 continue
@@ -50,7 +72,14 @@ def _load():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            stale = not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            if not stale:
+                try:
+                    with open(_HOSTSIG) as f:
+                        stale = f.read().strip() != _host_signature()
+                except OSError:
+                    stale = True  # unsigned .so: possibly built elsewhere
+            if stale:
                 if not _build():
                     _failed = True
                     return None

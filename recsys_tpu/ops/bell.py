@@ -168,12 +168,15 @@ def _side_tables(counts: np.ndarray, perm: np.ndarray, inv: np.ndarray,
     np.cumsum(counts[perm], out=starts[1:])
     slot = np.arange(len(own_s), dtype=np.int64) - starts[own_s]
 
+    from recsys_tpu.utils.hostmem import hugepage_empty, hugepage_zeros
+
     cols_t: list[np.ndarray] = []
     vals_t: list[np.ndarray] = []
     for (b0, b1, w) in bounds:
         nb = b1 - b0
-        ct = np.full((w, nb), other_dim, np.int32)  # pad -> zero row
-        vt = np.zeros((w, nb), dtype)
+        ct = hugepage_empty((w, nb), np.int32)
+        ct[...] = other_dim  # pad -> zero row
+        vt = hugepage_zeros((w, nb), dtype)
         sel = (own_s >= b0) & (own_s < b1)
         ct[slot[sel], own_s[sel] - b0] = other_s[sel]
         vt[slot[sel], own_s[sel] - b0] = vals_s[sel].astype(dtype)
@@ -217,9 +220,23 @@ def make_bell_inputs(spec: ProblemSpec, dtype=np.float32) -> BellData:
     )
 
 
+# id(spec) -> ratio, evicted by a weakref finalizer when the spec dies
+# (ProblemSpec holds ndarrays, so it is weakref-able but not hashable).
+_slot_ratio_cache: dict[int, float] = {}
+
+
 def bell_slot_ratio(spec: ProblemSpec) -> float:
     """Padded-slot overhead of the BELL format (1.0 = no padding): the
-    degree-bucketed analogue of ``ell_ratios``, used by path selection."""
+    degree-bucketed analogue of ``ell_ratios``, used by path selection.
+    Cached per live spec: choose_path runs several times per instance
+    (run/factorize/bench memory columns) and this costs two full sorts
+    of million-entry degree arrays."""
+    import weakref
+
+    key = id(spec)
+    hit = _slot_ratio_cache.get(key)
+    if hit is not None:
+        return hit
     if spec.nnz == 0:
         return float("inf")
     total = 0
@@ -227,7 +244,10 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
         counts = np.bincount(coords, minlength=dim)
         sc = np.sort(counts)[::-1]
         total += sum(w * (b1 - b0) for (b0, b1, w) in _degree_buckets(sc))
-    return total / (2.0 * spec.nnz)
+    ratio = total / (2.0 * spec.nnz)
+    _slot_ratio_cache[key] = ratio
+    weakref.finalize(spec, _slot_ratio_cache.pop, key, None)
+    return ratio
 
 
 # A bucket whose gathered row set (w*n*k f32 cells) exceeds this is
@@ -409,12 +429,15 @@ def _sharded_side_tables(shard, own_local, other_local, vals, own_blk_dim, other
     other_s = other_local[order]
     vals_s = vals[order]
 
+    from recsys_tpu.utils.hostmem import hugepage_empty, hugepage_zeros
+
     cols_t: list[np.ndarray] = []
     vals_t: list[np.ndarray] = []
     for (b0, b1, w) in bounds:
         n = b1 - b0
-        ct = np.full((n_shards, w, n), other_blk_dim, np.int32)  # pad -> zero row
-        vt = np.zeros((n_shards, w, n), dtype)
+        ct = hugepage_empty((n_shards, w, n), np.int32)
+        ct[...] = other_blk_dim  # pad -> zero row
+        vt = hugepage_zeros((n_shards, w, n), dtype)
         sel = (own_s >= b0) & (own_s < b1)
         ct[shard_s[sel], slot[sel], own_s[sel] - b0] = other_s[sel]
         vt[shard_s[sel], slot[sel], own_s[sel] - b0] = vals_s[sel].astype(dtype)
@@ -484,8 +507,10 @@ def pad_factors_sharded_bell(state, data: ShardedBellData, dtype):
     m = data.meta
     k = state.L.shape[1]
 
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
     def lay(F, perm, dim, blocks, blk):
-        out = np.zeros((blocks * (blk + 1), k), dtype)
+        out = hugepage_zeros((blocks * (blk + 1), k), dtype)
         pos = np.arange(dim)
         out[(pos // blk) * (blk + 1) + pos % blk] = F[perm].astype(dtype)
         return out
