@@ -110,3 +110,17 @@ def test_empty_instance_runs():
     st = init_factors(spec.users, spec.items, spec.features)
     want = np.argmax(st.L @ st.R.T, axis=1)
     np.testing.assert_array_equal(top1, want)
+
+
+def test_empty_huge_spec_avoids_dense_path():
+    """nnz == 0 with dimensions whose dense A does not fit the budget
+    must not pick the dense path (it would materialize users*items)."""
+    spec = ProblemSpec(
+        iters=1, alpha=0.01, features=2, users=1_000_000, items=100_000,
+        rows=np.zeros(0, np.int32), cols=np.zeros(0, np.int32),
+        vals=np.zeros(0, np.float64),
+    )
+    assert trainer.choose_path(spec, RunConfig(dtype="float32")) == "coo"
+    from recsys_tpu.parallel.engine import _choose_path
+
+    assert _choose_path(spec, RunConfig(dtype="float32"), 8) == "coo"
