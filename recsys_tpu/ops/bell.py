@@ -539,6 +539,22 @@ def unpermute_factors_sharded(L, R, data: ShardedBellData):
     )
 
 
+def sharded_lay_index(perm: np.ndarray, blk: int, blocks: int) -> np.ndarray:
+    """int32 (blocks*(blk+1),) device gather map building the
+    block-strided degree-permuted factor layout (per-block zero row at
+    local index ``blk``) from factors in ORIGINAL row order: the device
+    form of ``pad_factors_sharded_bell.lay``.  Zero rows and block
+    padding read index ``dim`` (out of range -> mode='fill' zeros)."""
+    dim = len(perm)
+    idx = np.full(blocks * (blk + 1), dim, np.int64)
+    pos = np.arange(dim, dtype=np.int64)
+    p = perm.astype(np.int64)
+    # permuted position pos holds original row perm[pos]
+    out_pos = (pos // blk) * (blk + 1) + pos % blk
+    idx[out_pos] = p
+    return idx.astype(np.int32)
+
+
 def sharded_unpermute_index(inv_perm: np.ndarray, blk: int, dim_pad: int) -> np.ndarray:
     """int32 (dim_pad,) device gather map: row ``r`` of the standard
     padded ``P(axis, None)`` factor layout <- block-strided permuted

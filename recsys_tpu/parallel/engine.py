@@ -146,11 +146,45 @@ def _factorize_sharded_bell(spec: ProblemSpec, cfg: RunConfig, mesh, state: MFSt
     pu, pi = mesh.devices.shape
     dt = jnp.dtype(cfg.dtype)
     data = make_sharded_bell(spec, pu, pi, dtype=dt)
-    if state is None:
-        state = init_factors(spec.users, spec.items, spec.features)
-    L0, R0 = pad_factors_sharded_bell(state, data, dt)
+    m0 = data.meta
     sL = NamedSharding(mesh, P(AXIS_USERS, None))
     sR = NamedSharding(mesh, P(AXIS_ITEMS, None))
+    from recsys_tpu.engine.trainer import DEVICE_INIT_MIN_DRAWS
+
+    draws = (spec.users + spec.items) * spec.features
+    if (
+        state is None
+        and draws >= DEVICE_INIT_MIN_DRAWS
+        and dt in (jnp.float32, jnp.bfloat16)
+        and jax.process_count() == 1
+        and putter is jax.device_put
+    ):
+        # Device-side glibc init (ops/device_rng.py) + block-layout via
+        # one sharded gather each: skips the host init's throttled page
+        # faults and the full-table upload, same as the single-chip BELL
+        # path.  Single-process only: per-process device arrays cannot
+        # feed a global jit directly.
+        from recsys_tpu.ops.bell import sharded_lay_index
+        from recsys_tpu.ops.device_rng import device_init_factors
+
+        L0d, R0d = device_init_factors(spec.users, spec.items, spec.features)
+        uidx = jnp.asarray(sharded_lay_index(data.user_perm, m0.u_blk, pu))
+        iidx = jnp.asarray(sharded_lay_index(data.item_perm, m0.i_blk, pi))
+        take = jax.jit(
+            lambda F, i: jnp.take(F.astype(dt), i, axis=0, mode="fill", fill_value=0),
+            out_shardings=sL,
+        )
+        L0 = take(L0d, uidx)
+        take_r = jax.jit(
+            lambda F, i: jnp.take(F.astype(dt), i, axis=0, mode="fill", fill_value=0),
+            out_shardings=sR,
+        )
+        R0 = take_r(R0d, iidx)
+        del L0d, R0d
+    else:
+        if state is None:
+            state = init_factors(spec.users, spec.items, spec.features)
+        L0, R0 = pad_factors_sharded_bell(state, data, dt)
     s3 = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None))
     s4 = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS, None, None))
     t = data.tables

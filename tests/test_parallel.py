@@ -187,3 +187,28 @@ def test_sharded_bell_extreme_aspect(shape):
         np.asarray(got.R)[: spec.items, : spec.features],
         np.asarray(want.R), rtol=3e-5, atol=3e-6,
     )
+
+
+def test_sharded_bell_device_init(monkeypatch):
+    """With the draw threshold forced to 0, the sharded BELL path
+    generates initial factors on device (ops/device_rng.py) and lays
+    them out via sharded gathers; results must agree with the host-init
+    run (the device stream is bit-exact in integers, within ~2 f32 ulp
+    after scaling)."""
+    import recsys_tpu.engine.trainer as trainer_mod
+    from recsys_tpu.io.generator import generate_instance
+    from recsys_tpu.parallel.engine import factorize_sharded
+    from recsys_tpu.parallel.mesh import make_mesh
+
+    spec = generate_instance(24, 36, 4, 1, 4, iters=3, alpha=0.01, seed=5)
+    mesh = make_mesh(spec.users, spec.items, shape=(2, 4))
+    cfg = RunConfig(dtype="float32", path="bell")
+    host_state, _ = factorize_sharded(spec, cfg, mesh=mesh)
+    monkeypatch.setattr(trainer_mod, "DEVICE_INIT_MIN_DRAWS", 0)
+    dev_state, _ = factorize_sharded(spec, cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(dev_state.L), np.asarray(host_state.L), rtol=2e-4, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev_state.R), np.asarray(host_state.R), rtol=2e-4, atol=2e-6
+    )
