@@ -34,4 +34,9 @@ timeout 3600 python -u -m recsys_tpu.bench.sweep --dtype float64 \
 # 4. headline bench sanity (what the driver runs at round end)
 timeout 1800 python -u bench.py >> $LOG 2>&1
 
+# 5. refresh the markdown table from the accumulated rows
+python -m recsys_tpu.bench.sweep --render $J --out BENCHMARKS.md >> $LOG 2>&1
+
 echo "=== queue done $(date)" >> $LOG
+echo "NEXT: read /tmp/tpu_queue.log; if the re-gather A/B won, flip" >> $LOG
+echo "ops/bell.py::REGATHER_FOR_GRADIENT to True and refresh the BELL rows." >> $LOG
