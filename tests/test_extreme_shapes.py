@@ -88,3 +88,31 @@ def test_extreme_shape_bell_tables_are_small():
     slot_bytes += sum(v.nbytes for v in data.tables.uvals + data.tables.ivals)
     assert slot_bytes < 64 * spec.nnz  # a few bytes per entry, both sides
     assert data.meta.item.n_nz <= 2 * spec.nnz
+
+
+@pytest.mark.slow
+def test_inst1000_1e6_sharded_bell_executes():
+    """The cluster shape on the 8-device mesh: sharded BELL must
+    handle a 1M-item dimension (125k-item blocks, ragged degree
+    buckets, empty shards) and agree with the single-chip engine."""
+    from recsys_tpu.parallel.engine import factorize_sharded
+    from recsys_tpu.parallel.mesh import make_mesh
+
+    spec = load_problem(str(FIXTURES / "inst1000-1e6-1000-1-3.in"))
+    spec = dataclasses.replace(spec, iters=2, features=64)
+    state = _cheap_state(spec)
+    single = trainer.factorize(
+        spec, RunConfig(dtype="float32", path="bell"), state=state
+    )
+    mesh = make_mesh(spec.users, spec.items, shape=(2, 4))
+    sharded, _ = factorize_sharded(
+        spec, RunConfig(dtype="float32", path="bell"), mesh=mesh, state=state
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.L)[: spec.users], np.asarray(single.L),
+        rtol=2e-5, atol=2e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.R)[: spec.items], np.asarray(single.R),
+        rtol=2e-5, atol=2e-7,
+    )
