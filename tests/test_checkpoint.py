@@ -42,3 +42,16 @@ def test_save_is_atomic_overwrite(tmp_path):
     checkpoint.save(path, st, 1)
     checkpoint.save(path, st, 2)  # overwrite in place
     assert checkpoint.load(path).completed_iters == 2
+
+
+def test_chunked_equals_straight_bell(tmp_path):
+    """Checkpoint/resume through the BELL path: state round-trips
+    through the degree permutation bit-exactly (f64), so chunked
+    training equals the uninterrupted run byte-for-byte."""
+    spec = generate_instance(30, 200, 6, 2, 5, iters=12, alpha=0.01, seed=9)
+    cfg = RunConfig(dtype="float64", path="bell")
+    straight = trainer.factorize(spec, cfg)
+    path = str(tmp_path / "ck.npz")
+    chunked = checkpoint.run_with_checkpoints(spec, cfg, path, every=5)
+    np.testing.assert_array_equal(np.asarray(straight.L), np.asarray(chunked.L))
+    np.testing.assert_array_equal(np.asarray(straight.R), np.asarray(chunked.R))
