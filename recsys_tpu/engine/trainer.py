@@ -330,30 +330,66 @@ def _factorize_pallas(spec: ProblemSpec, state: MFState | None, precision: str =
         return _factorize_pallas_impl(spec, state, precision)
 
 
+def _a_storage(spec: ProblemSpec):
+    """(dtype, bytes) of the most compact EXACT A storage: int8 holds 2x
+    the rating for half-star scales (kernels dequantize by an exact
+    x0.5), bf16 covers ratings that round-trip, f32 always works — every
+    choice reproduces the same f32 values bit-for-bit, so results are
+    storage-invariant (asserted by the kernel tests)."""
+    if pallas_dense.vals_int8_exact(spec):
+        return jnp.int8, 1
+    if pallas_dense.vals_bf16_exact(spec):
+        return jnp.bfloat16, 2
+    return jnp.float32, 4
+
+
 def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False):
     """A-storage dtype for the resident kernel, or None when the problem
-    does not fit VMEM: f32 when it fits outright; bf16 (halving A) when
-    every rating survives the round trip — exactness preserved either
-    way.  ``fused_top1`` applies the tighter budget of the variant that
-    also reconstructs B in-kernel."""
-    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=4, fused_top1=fused_top1):
-        return jnp.float32
-    if (
-        pallas_dense.resident_fits(spec, strip=strip, a_bytes=2, fused_top1=fused_top1)
-        and pallas_dense.vals_bf16_exact(spec)
-    ):
-        return jnp.bfloat16
+    does not fit VMEM.  ``fused_top1`` applies the tighter budget of the
+    variant that also reconstructs B in-kernel."""
+    a_dtype, a_bytes = _a_storage(spec)
+    if pallas_dense.resident_fits(spec, strip=strip, a_bytes=a_bytes, fused_top1=fused_top1):
+        return a_dtype
     return None
 
 
-def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
+def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
+    """(kind, a_dtype, strip) for the pallas path — the ONE place that
+    decides which fused kernel runs (factorize, run, memory analysis and
+    the bench VMEM column all consult it):
+
+    * ``resident`` — whole problem VMEM-resident, strip walk statically
+      unrolled.  Only up to 4 strips: past that Mosaic either spills
+      (unrolled) or walks dynamic offsets (in-kernel fori_loop, measured
+      ~4x slower at gen-ML1M shape) — the streamed grid wins instead.
+    * ``stream``  — factors/accumulators VMEM-resident, A streamed from
+      HBM one (U, strip) block per grid step (any A size).
+    * ``tiled``   — two-pass tiled fallback for shapes whose factor
+      tables or (U, strip) blocks exceed VMEM.
+    """
     strip = pallas_dense.strip_for(spec)
+    n_strips = -(-spec.items // strip)
+    a_dtype = _resident_a_dtype(spec, strip, fused_top1)
+    if a_dtype is not None and n_strips <= 4:
+        return "resident", a_dtype, strip
+    a_dtype, a_bytes = _a_storage(spec)
+    if pallas_dense.stream_fits(spec, strip=strip, a_bytes=a_bytes):
+        return "stream", a_dtype, strip
+    return "tiled", None, strip
+
+
+def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
+    kind, a_dtype, strip = _pallas_plan(spec)
     alpha2 = 2.0 * spec.alpha
-    a_dtype = _resident_a_dtype(spec, strip)
-    if a_dtype is not None:
+    if kind in ("resident", "stream"):
         Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
         A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
-        Ltp, Rtp = pallas_dense.resident_train(
+        train = (
+            pallas_dense.resident_train
+            if kind == "resident"
+            else pallas_dense.stream_train
+        )
+        Ltp, Rtp = train(
             jnp.asarray(Lt), jnp.asarray(Rt), A,
             iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
         )
@@ -408,14 +444,15 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
         am = jax.ShapeDtypeStruct((spec.users, spec.items), dt)
         lowered = _train_dense.lower(L0, R0, am, am, alpha2, spec.iters)
     elif path == "pallas":
-        strip = pallas_dense.strip_for(spec)
-        a_dtype = _resident_a_dtype(spec, strip)
+        kind, a_dtype, strip = _pallas_plan(spec)
         with jax.enable_x64(False):
-            if a_dtype is not None:
+            if kind in ("resident", "stream"):
                 Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
                 fn = jax.jit(
                     partial(
-                        pallas_dense.resident_train,
+                        pallas_dense.resident_train
+                        if kind == "resident"
+                        else pallas_dense.stream_train,
                         iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
                         interpret=None, precision="highest",
                     )
@@ -492,12 +529,16 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
 
 def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
-    strip = pallas_dense.strip_for(spec)
     with jax.enable_x64(False):
-        a_dtype = _resident_a_dtype(spec, strip, fused_top1=True)
+        kind, a_dtype, strip = _pallas_plan(spec, fused_top1=True)
         Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
         A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
-        _, _, top1 = pallas_dense.resident_train_top1(
+        train_top1 = (
+            pallas_dense.resident_train_top1
+            if kind == "resident"
+            else pallas_dense.stream_train_top1
+        )
+        _, _, top1 = train_top1(
             jnp.asarray(Lt), jnp.asarray(Rt), A,
             iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
             precision=precision, items_true=spec.items,
@@ -521,8 +562,7 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     path = choose_path(spec, cfg)
     if (
         path == "pallas"
-        and _resident_a_dtype(spec, pallas_dense.strip_for(spec), fused_top1=True)
-        is not None
+        and _pallas_plan(spec, fused_top1=True)[0] in ("resident", "stream")
         # Same implicit-mask gate as factorize(): an explicit path="pallas"
         # on a spec with a zero-valued rating must raise there, not
         # silently train with that entry masked out.

@@ -73,6 +73,17 @@ def _interpret(flag: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _load_a(A_ref, off, strip) -> jnp.ndarray:
+    """One (U, strip) f32 slab of A from its storage dtype.  int8 holds
+    2x the rating (half-star scales are integers there); x0.5 is exact
+    in binary floating point, so every storage dtype yields the SAME
+    f32 values and the kernels' arithmetic is storage-invariant."""
+    a = A_ref[:, pl.dslice(off, strip)].astype(jnp.float32)
+    if A_ref.dtype == jnp.int8:
+        a = a * jnp.float32(0.5)
+    return a
+
+
 # ---------------------------------------------------------------------
 # Whole-loop VMEM-resident kernel
 # ---------------------------------------------------------------------
@@ -97,9 +108,10 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
 
     def do_strip(off):
         # A may be stored bf16 (exactly, when every rating round-trips
-        # bf16 — true for integer/half star scales), halving its VMEM
-        # footprint; the error math stays f32.
-        a = A_ref[:, pl.dslice(off, strip)].astype(jnp.float32)  # (U, strip)
+        # bf16) or int8 (2x the rating, exact for half-star scales —
+        # dequantized by an EXACT x0.5), shrinking its VMEM footprint
+        # 2x/4x; the error math stays f32 and results are bit-identical.
+        a = _load_a(A_ref, off, strip)  # (U, strip) f32
         rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip)
         # E strip: masked error on the MXU. (A != 0) is the mask.
         pred = jax.lax.dot_general(
@@ -190,6 +202,193 @@ def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, in
         cost_estimate=pl.CostEstimate(flops=int(flops), bytes_accessed=A.size * 4, transcendentals=0),
         interpret=_interpret(interpret),
     )(A, Lt, Rt)
+
+
+# ---------------------------------------------------------------------
+# Grid-streamed kernel: factors VMEM-resident, A streamed per strip
+# ---------------------------------------------------------------------
+
+
+def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, Lu_ref, bv_ref, *, n_strips, strip, alpha2, precision, items_true, fused_top1):
+    """One (iteration, strip) grid step.  The strip walk lives on the
+    PALLAS GRID, not in an in-kernel fori_loop: every A access is a
+    static block the pipeline double-buffers from HBM, and Mosaic
+    schedules one strip's matmuls per step (no unroll spills, no
+    dynamic-offset walks over the big array — the in-kernel fori_loop
+    variant measured ~4x slower at gen-ML1M shape).  Factors, gradient
+    accumulators and the Lu transpose live in VMEM scratch/outputs with
+    constant index maps, so they never touch HBM between grid steps; A
+    is the only per-iteration HBM traffic (~60 us/iter at ML1M shape,
+    overlapped with compute).  When ``fused_top1`` the grid runs one
+    extra "iteration" that reconstructs B strip-by-strip and keeps a
+    running (best value, lowest index) per user — whole problem, one
+    kernel, any A size whose factors fit VMEM."""
+    it = pl.program_id(0)
+    s = pl.program_id(1)
+    off = s * strip
+
+    @pl.when(jnp.logical_and(it == 0, s == 0))
+    def _():
+        Ltout_ref[:] = Lt_ref[:]
+        Rtout_ref[:] = Rt_ref[:]
+
+    @pl.when(s == 0)
+    def _():
+        # Stable-snapshot semantics (matFact.c:38-39): Lu reads the
+        # pre-iteration factors; updates land after the last strip.
+        Lu_ref[:] = Ltout_ref[:].T
+        dLt_ref[:] = jnp.zeros_like(dLt_ref)
+
+    a = A_ref[:].astype(jnp.float32)  # (U, strip) streamed block
+    if A_ref.dtype == jnp.int8:
+        a = a * jnp.float32(0.5)  # exact dequant (see _load_a)
+    rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip) VMEM slice
+
+    def train_step():
+        pred = jax.lax.dot_general(
+            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        e = jnp.where(a != 0.0, a - pred, 0.0)
+        dLt_ref[:] += jax.lax.dot_general(
+            rt, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dRt_ref[:, pl.dslice(off, strip)] = jax.lax.dot_general(
+            Ltout_ref[:], e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+        @pl.when(s == n_strips - 1)
+        def _():
+            Ltout_ref[:] = Ltout_ref[:] + alpha2 * dLt_ref[:]
+            Rtout_ref[:] = Rtout_ref[:] + alpha2 * dRt_ref[:]
+
+    if not fused_top1:
+        train_step()
+        return
+
+    n_iters = pl.num_programs(0) - 1
+
+    @pl.when(it < n_iters)
+    def _():
+        train_step()
+
+    @pl.when(it == n_iters)
+    def _():
+        # Final pass: reconstruct B strip-by-strip (Lu holds the FINAL
+        # factors — the s == 0 prologue above transposed the updated
+        # Ltout), mask rated cells and item padding, keep the running
+        # maximum.  Strictly-greater updates preserve the reference's
+        # lowest-index tie-break (matFact.c:17).
+        U = Lu_ref.shape[0]
+
+        @pl.when(s == 0)
+        def _():
+            bv_ref[:] = jnp.full_like(bv_ref, -jnp.inf)
+            top_ref[:] = jnp.zeros_like(top_ref)
+
+        b = jax.lax.dot_general(
+            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
+        b = jnp.where((a != 0.0) | (col >= items_true), -jnp.inf, b)
+        val = jnp.max(b, axis=1, keepdims=True)
+        idx = jnp.argmax(b, axis=1, keepdims=True).astype(jnp.int32) + off
+        take = val > bv_ref[:]
+        bv_ref[:] = jnp.where(take, val, bv_ref[:])
+        top_ref[:] = jnp.where(take, idx, top_ref[:])
+
+
+def _stream_call(Lt, Rt, A, *, iters, alpha2, strip, interpret, precision, items_true, fused_top1):
+    K, U = Lt.shape
+    I = Rt.shape[1]
+    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
+    if iters == 0 and not fused_top1:
+        # Zero grid steps would leave the aliased outputs unwritten.
+        return Lt, Rt, jnp.zeros((U, 1), jnp.int32)
+    n_strips = I // strip
+    kernel = functools.partial(
+        _stream_kernel, n_strips=n_strips, strip=strip, alpha2=alpha2,
+        precision=precision, items_true=items_true, fused_top1=fused_top1,
+    )
+    flops = (1 + 2 * K / 128) * 2 * U * I * 128 * (iters + int(fused_top1))
+    return pl.pallas_call(
+        kernel,
+        grid=(iters + int(fused_top1), n_strips),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, U), jnp.float32),
+            jax.ShapeDtypeStruct((K, I), jnp.float32),
+            jax.ShapeDtypeStruct((U, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((K, U), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, I), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, strip), lambda it, s: (0, s)),  # streamed
+        ],
+        out_specs=(
+            pl.BlockSpec((K, U), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, I), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, 1), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, U), jnp.float32),  # dLt accumulator
+            pltpu.VMEM((K, I), jnp.float32),  # dRt accumulator
+            pltpu.VMEM((U, K), jnp.float32),  # Lu: per-iter transposed L
+            pltpu.VMEM((U, 1), jnp.float32),  # running best value
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=A.size * A.dtype.itemsize * (iters + int(fused_top1)),
+            transcendentals=0,
+        ),
+        interpret=_interpret(interpret),
+    )(Lt, Rt, A)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision"))
+def stream_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
+    """Full training loop, K-major factors VMEM-resident, A streamed
+    from HBM one (U, strip) block per grid step (same shapes/contract as
+    ``resident_train``; A may be any size whose factor tables fit)."""
+    Ltp, Rtp, _ = _stream_call(
+        Lt, Rt, A, iters=iters, alpha2=alpha2, strip=strip,
+        interpret=interpret, precision=precision, items_true=0, fused_top1=False,
+    )
+    return Ltp, Rtp
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
+def stream_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
+    """stream_train + fused masked top-1 (one extra grid pass over A).
+    Returns (Lt', Rt', top1[U, 1] int32)."""
+    return _stream_call(
+        Lt, Rt, A, iters=iters, alpha2=alpha2, strip=strip,
+        interpret=interpret, precision=precision, items_true=items_true,
+        fused_top1=True,
+    )
+
+
+def stream_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
+    """Estimated VMEM working set of the streamed kernel: factor tables
+    (in + out + accumulators + Lu) plus double-buffered A strips and one
+    (U, strip) error tile — A itself stays in HBM."""
+    U = _round_up(spec.users, 128)
+    I = _round_up(spec.items, strip)
+    K = _round_up(spec.features, 8)
+    return 4 * (5 * U * K + 4 * I * K) + (2 * a_bytes + 8) * U * strip
+
+
+# Streamed-kernel VMEM gate, same margin philosophy as the resident
+# budget (the estimate undercounts Mosaic temporaries ~1.4-1.6x).
+STREAM_VMEM_BUDGET = 64 << 20
+
+
+def stream_fits(spec, strip: int = 512, a_bytes: int = 4) -> bool:
+    return stream_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) <= STREAM_VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------
@@ -304,7 +503,7 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
     Lu_ref[:] = Ltout_ref[:].T  # final factors for the B reconstruction
 
     def top1_strip(off):
-        a = A_ref[:, pl.dslice(off, strip)]
+        a = _load_a(A_ref, off, strip)
         rt = Rtout_ref[:, pl.dslice(off, strip)]
         b = jax.lax.dot_general(
             Lu_ref[:], rt, (((1,), (0,)), ((), ())),
@@ -482,6 +681,22 @@ def vals_bf16_exact(spec) -> bool:
     return bool(np.all(v.astype(jnp.bfloat16).astype(v.dtype) == v))
 
 
+def vals_int8_exact(spec) -> bool:
+    """True when every rating is a non-zero multiple of 0.5 within
+    (-63.5, 63.5] — then A stores 2x the rating as int8 (quartering the
+    f32 footprint and upload) and the kernels dequantize by an exact
+    x0.5, reproducing the f32 values bit-for-bit.  Non-zero keeps the
+    implicit mask recoverable (int8 0 stays the padding sentinel)."""
+    import numpy as np
+
+    v = np.asarray(spec.vals, np.float64) * 2.0
+    if v.size == 0:
+        return True
+    return bool(
+        np.all(v == np.round(v)) and np.all(np.abs(v) <= 127) and np.all(v != 0)
+    )
+
+
 def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
     """Zero-padded dense A on device: host build (pooled THP staging)
     + one upload.  A device-side scatter densify was measured at a FIXED
@@ -493,6 +708,16 @@ def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
 
     from recsys_tpu.utils.hostmem import hugepage_zeros
 
+    if jnp.dtype(dtype) == jnp.int8:
+        # 2x-rating int8 storage (see vals_int8_exact): the host stages
+        # U*I BYTES (not f32 words) and the upload shrinks 4x — the
+        # attachment moves GB-scale arrays at ~0.1 GB/s, so at ML1M
+        # shape this is most of the non-train wall.
+        a = hugepage_zeros((U, I), np.int8)
+        a[spec.rows, spec.cols] = np.round(
+            np.asarray(spec.vals, np.float64) * 2.0
+        ).astype(np.int8)
+        return jnp.asarray(a)
     a = hugepage_zeros((U, I), np.float32)
     a[spec.rows, spec.cols] = spec.vals
     return jnp.asarray(a, dtype)

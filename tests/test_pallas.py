@@ -150,6 +150,133 @@ def test_resident_many_strips_matches_oracle():
     np.testing.assert_array_equal(np.asarray(top1)[: spec.users, 0], want)
 
 
+def test_stream_equals_resident_bitwise(small_spec):
+    """The grid-streamed kernel walks the same strips in the same order
+    with the same arithmetic as the resident kernel — factors must come
+    out BIT-identical."""
+    from recsys_tpu.ops.pallas_dense import stream_train
+
+    Lt, Rt, A, _ = pad_for_pallas(small_spec, strip=128)
+    La, Ra = resident_train(Lt, Rt, A, iters=5, alpha2=2 * small_spec.alpha, strip=128)
+    Lb, Rb = stream_train(Lt, Rt, A, iters=5, alpha2=2 * small_spec.alpha, strip=128)
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
+    np.testing.assert_array_equal(np.asarray(Ra), np.asarray(Rb))
+
+
+def test_stream_many_strips_matches_oracle():
+    """The streamed kernel's home regime: n_strips > 4 (where the
+    resident kernel would spill or walk dynamic offsets).  Training and
+    fused top-1 must match the oracle."""
+    from recsys_tpu.engine.oracle import top1_numpy
+    from recsys_tpu.ops.pallas_dense import stream_train_top1
+
+    spec = generate_instance(32, 700, 8, 2, 8, iters=4, alpha=0.01, seed=7)
+    Lt, Rt, A, (U, I, K) = pad_for_pallas(spec, strip=128)
+    assert I // 128 > 4
+    Ltp, Rtp, top1 = stream_train_top1(
+        Lt, Rt, A, iters=4, alpha2=2 * spec.alpha, strip=128, items_true=spec.items
+    )
+    ref = _reference_factors(spec, 4)
+    np.testing.assert_allclose(
+        np.asarray(Ltp)[: spec.features, : spec.users].T, ref.L, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(Rtp)[: spec.features, : spec.items].T, ref.R, rtol=2e-4, atol=2e-5
+    )
+    want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), spec)
+    np.testing.assert_array_equal(np.asarray(top1)[: spec.users, 0], want)
+
+
+def test_stream_bf16_a_storage(small_spec):
+    """bf16-stored A must leave results unchanged when every rating
+    round-trips (error math stays f32)."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.pallas_dense import stream_train, vals_bf16_exact
+
+    assert vals_bf16_exact(small_spec)
+    Lt, Rt, A, _ = pad_for_pallas(small_spec, strip=128)
+    La, Ra = stream_train(Lt, Rt, A, iters=3, alpha2=2 * small_spec.alpha, strip=128)
+    Lb, Rb = stream_train(
+        Lt, Rt, jnp.asarray(A, jnp.bfloat16), iters=3,
+        alpha2=2 * small_spec.alpha, strip=128,
+    )
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
+    np.testing.assert_array_equal(np.asarray(Ra), np.asarray(Rb))
+
+
+def test_int8_a_storage_bit_identical(small_spec):
+    """int8 A (2x-rating storage, exact x0.5 dequant) must reproduce the
+    f32-A results bit-for-bit in both fused kernels."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.pallas_dense import (
+        device_dense_A,
+        stream_train,
+        vals_int8_exact,
+    )
+
+    assert vals_int8_exact(small_spec)
+    Lt, Rt, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
+    A8 = device_dense_A(small_spec, U, I, dtype=jnp.int8)
+    assert A8.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(A8, np.float32) * 0.5, np.asarray(A)
+    )
+    La, Ra = resident_train(Lt, Rt, A, iters=4, alpha2=2 * small_spec.alpha, strip=128)
+    Lb, Rb = resident_train(Lt, Rt, A8, iters=4, alpha2=2 * small_spec.alpha, strip=128)
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lb))
+    np.testing.assert_array_equal(np.asarray(Ra), np.asarray(Rb))
+    Lc, Rc = stream_train(Lt, Rt, A8, iters=4, alpha2=2 * small_spec.alpha, strip=128)
+    np.testing.assert_array_equal(np.asarray(La), np.asarray(Lc))
+    np.testing.assert_array_equal(np.asarray(Ra), np.asarray(Rc))
+
+
+def test_vals_int8_exact_gates():
+    import dataclasses
+
+    from recsys_tpu.ops.pallas_dense import vals_int8_exact
+
+    spec = generate_instance(8, 8, 4, 1, 3, iters=1, alpha=0.01, seed=3)
+    assert vals_int8_exact(spec)  # integer star ratings
+    bad = dataclasses.replace(spec, vals=spec.vals + np.float64(0.25))
+    assert not vals_int8_exact(bad)  # quarter-star: 2x not integral
+    big = dataclasses.replace(spec, vals=spec.vals * 100.0)
+    assert not vals_int8_exact(big)  # overflows int8
+
+
+def test_stream_top1_tie_break_lowest_index():
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.pallas_dense import stream_train_top1
+
+    U, I, K = 128, 128, 8
+    Lt = np.ones((K, U), np.float32)
+    Rt = np.ones((K, I), np.float32)
+    A = np.zeros((U, I), np.float32)
+    _, _, top1 = stream_train_top1(
+        jnp.asarray(Lt), jnp.asarray(Rt), jnp.asarray(A),
+        iters=0, alpha2=0.0, strip=128, items_true=I,
+    )
+    np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
+
+
+def test_pallas_plan_dispatch():
+    """_pallas_plan: small few-strip instances stay on the resident
+    kernel; many-strip / big-A instances stream; factor tables beyond
+    VMEM fall back to tiled."""
+    from recsys_tpu.engine import trainer
+
+    small = generate_instance(500, 500, 8, 1, 2, iters=1, alpha=0.01, seed=1)
+    assert trainer._pallas_plan(small)[0] == "resident"
+    # ML1M-ish shape: resident-fits only with bf16 A but 8 strips -> stream.
+    wide = generate_instance(6040, 3952, 30, 1, 5, iters=1, alpha=0.01, seed=1)
+    assert trainer._pallas_plan(wide)[0] == "stream"
+    # Huge user dimension: (U, strip) A blocks alone exceed VMEM -> tiled.
+    tall = generate_instance(120000, 2000, 10, 1, 5, iters=1, alpha=0.01, seed=1)
+    assert trainer._pallas_plan(tall)[0] == "tiled"
+
+
 def test_run_uses_fused_kernel_golden(small_spec):
     """trainer.run on a resident-size instance must still match the
     oracle output through the fused path (interpret mode on CPU)."""
