@@ -264,10 +264,27 @@ CHUNK_CELLS = 1 << 27  # 512 MB of f32 gather per piece
 # a single gather therefore materializes as an HLO temp padded to the
 # 128-lane tile — a 6.4x HBM-bandwidth tax at k=20.  Re-gathering for
 # the second consumer behind an optimization_barrier (so CSE cannot
-# merge the two) lets each gather fuse into its own reduction with no
-# staged temp; the result is bit-identical (same rows, same arithmetic).
-# Off until A/B-measured on real TPU (scripts/ab_bell_regather.py).
+# merge the two) *can* let each gather fuse into its own reduction with
+# no staged temp; the result is bit-identical (same rows, same
+# arithmetic; asserted by test_regather_variant_bit_identical).
+#
+# Measured, real TPU: the isolated A/B (scripts/ab_bell_regather.py,
+# inst50000-5000, 300 iters) showed 2.59 vs 3.20 ms/iter in its favor —
+# but end-to-end sweep rows did NOT reproduce the win, and on
+# gen-inst1000-80000 XLA *staged both gathers* instead of fusing
+# (compile-time memory analysis doubled, 308→624 MB program).  Whether
+# the second gather fuses is shape-dependent and not predictable
+# cheaply at dispatch, so the default stays OFF (single gather, the
+# configuration every committed bench row and conformance golden was
+# produced with); the flag remains for experimentation.
+# Exact-f64 always keeps the single-gather form: its byte-exact golden
+# rows were validated against the reference binary with that HLO, and
+# the conformance mode must not trade summation-order risk for speed.
 REGATHER_FOR_GRADIENT = False
+
+
+def _use_regather(dtype) -> bool:
+    return REGATHER_FOR_GRADIENT and jnp.dtype(dtype) != jnp.float64
 
 
 def _regather(F_other, idx_flat):
@@ -283,8 +300,12 @@ def _delta_bucket(F_other, fo, idx, vals, alpha2):
         g = F_other[idx.reshape(-1)].reshape(w, n, k)
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
-        if REGATHER_FOR_GRADIENT:
-            g = _regather(F_other, idx.reshape(-1)).reshape(w, n, k)
+        # No re-gather here: this helper runs in the CHUNKED regime
+        # (instances whose gathers exceed CHUNK_CELLS sit at the HBM
+        # edge — 12-19 GB programs on a 16 GB chip), where a second
+        # staged gather per piece is exactly the OOM the chunking
+        # exists to avoid.  The 19% re-gather win was measured in the
+        # single-shot regime (_delta_side) and applies only there.
         return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
     # Split along n: each column range is an independent set of output
     # rows (chunk count is static; shapes stay static per piece).
@@ -320,7 +341,7 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     g_flat = F_other[cols_flat] if S * k <= CHUNK_CELLS else None
     g2_flat = (
         _regather(F_other, cols_flat)
-        if g_flat is not None and REGATHER_FOR_GRADIENT
+        if g_flat is not None and _use_regather(F_other.dtype)
         else None
     )
     for (b0, b1, w), vals in zip(bounds, vals_t):

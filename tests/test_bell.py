@@ -140,14 +140,23 @@ def test_regather_variant_bit_identical(sparse_spec):
     saved = bell_mod.REGATHER_FOR_GRADIENT
     try:
         bell_mod.REGATHER_FOR_GRADIENT = False
-        a = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        a = trainer.factorize(sparse_spec, RunConfig(dtype="float32", path="bell"))
         bell_mod.REGATHER_FOR_GRADIENT = True
         # same (iters, meta) would hit the jit cache traced with the old
         # flag; clear it so the variant actually retraces.
         trainer._train_bell.clear_cache()
-        b = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        b = trainer.factorize(sparse_spec, RunConfig(dtype="float32", path="bell"))
     finally:
         bell_mod.REGATHER_FOR_GRADIENT = saved
         trainer._train_bell.clear_cache()
     np.testing.assert_array_equal(np.asarray(a.L), np.asarray(b.L))
     np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+
+
+def test_regather_disabled_for_f64():
+    """Exact-f64 conformance keeps the single-gather HLO regardless of
+    the flag: its byte-exact goldens were validated with that program."""
+    from recsys_tpu.ops import bell as bell_mod
+
+    assert bell_mod._use_regather(np.float32) == bell_mod.REGATHER_FOR_GRADIENT
+    assert bell_mod._use_regather(np.float64) is False
