@@ -205,6 +205,14 @@ def format_markdown(rows: list[dict]) -> str:
         "  program (arguments + temps + output; exact — it is what the compiler",
         "  reserves). '+VMEM' is the resident kernel's estimated on-chip working",
         "  set, which HBM numbers do not include.",
+        "- Measurement provenance: rows are idle-host, dedicated-process",
+        "  measurements (min over repeats after a warm-up compile). On",
+        "  2026-08-18 an exact-f64 run of gen-inst60000-2000 crashed the remote",
+        "  TPU worker (kernel fault); after the restart, gather-heavy programs",
+        "  measured up to 4x slower (identical HLO). Rows for programs whose",
+        "  code did not change keep their pre-crash measurements; post-crash",
+        "  re-measurements of changed programs (the pallas-path rows) are",
+        "  conservative — they improved despite the degradation.",
         "",
     ]
     return "\n".join(lines)
@@ -271,6 +279,18 @@ def main(argv=None):
         if args.jsonl:
             with open(args.jsonl, "a") as f:
                 f.write(json.dumps(r) + "\n")
+        # Drop compiled programs and collect dead device buffers between
+        # instances: a full sweep in ONE process otherwise accumulates
+        # toward HBM (the 12 GB extreme shapes RESOURCE_EXHAUSTED after
+        # ~10 earlier instances; each passes in a fresh process).  Shapes
+        # never repeat across instances, so nothing reusable is lost —
+        # the persistent compile cache covers re-runs.
+        import gc
+
+        import jax
+
+        gc.collect()
+        jax.clear_caches()
     if args.out:
         with open(args.out, "w") as f:
             f.write(format_markdown(rows))
@@ -291,23 +311,26 @@ def _program_hbm_mb(spec, cfg):
 
 
 def _resident_vmem_mb(spec, cfg):
-    """Estimated VMEM working set when the run used the resident Pallas
-    kernel (the on-chip footprint HBM stats don't see), else None."""
+    """Estimated VMEM working set when the run used a factor-resident
+    Pallas kernel (the on-chip footprint HBM stats don't see), else
+    None."""
     from recsys_tpu.engine import trainer
     from recsys_tpu.ops import pallas_dense
 
     if trainer.choose_path(spec, cfg) != "pallas":
         return None
-    strip = pallas_dense.strip_for(spec)
-    a_dtype = trainer._resident_a_dtype(spec, strip)  # the engine's own choice
-    if a_dtype is None:
+    kind, a_dtype, strip = trainer._pallas_plan(spec)  # the engine's own choice
+    if kind == "tiled":
         return None
     import jax.numpy as jnp
 
     a_bytes = jnp.dtype(a_dtype).itemsize
-    return round(
-        pallas_dense.resident_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) / 1e6, 1
+    fn = (
+        pallas_dense.resident_vmem_bytes
+        if kind == "resident"
+        else pallas_dense.stream_vmem_bytes
     )
+    return round(fn(spec, strip=strip, a_bytes=a_bytes) / 1e6, 1)
 
 
 def _f64_feasible(name: str, cell_limit: int) -> bool:
