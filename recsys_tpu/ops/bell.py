@@ -268,15 +268,17 @@ CHUNK_CELLS = 1 << 27  # 512 MB of f32 gather per piece
 # no staged temp; the result is bit-identical (same rows, same
 # arithmetic; asserted by test_regather_variant_bit_identical).
 #
-# Measured, real TPU: the isolated A/B (scripts/ab_bell_regather.py,
-# inst50000-5000, 300 iters) showed 2.59 vs 3.20 ms/iter in its favor —
-# but end-to-end sweep rows did NOT reproduce the win, and on
-# gen-inst1000-80000 XLA *staged both gathers* instead of fusing
-# (compile-time memory analysis doubled, 308→624 MB program).  Whether
-# the second gather fuses is shape-dependent and not predictable
-# cheaply at dispatch, so the default stays OFF (single gather, the
-# configuration every committed bench row and conformance golden was
-# produced with); the flag remains for experimentation.
+# Measured, real TPU: an early A/B during a degraded-attachment window
+# showed 2.59 vs 3.20 ms/iter in its favor, but (a) end-to-end sweep
+# rows did not reproduce the win, (b) on gen-inst1000-80000 XLA *staged
+# both gathers* instead of fusing (compile-time memory analysis
+# doubled, 308→624 MB program), and (c) the clean idle-host re-run
+# after the attachment recovered (scripts/ab_bell_regather.py,
+# inst50000-5000, 300 iters, 2026-08-19) reversed it decisively:
+# single-gather 1.646 ms/iter vs re-gather 2.490 ms/iter.  The default
+# stays OFF (single gather, the configuration every committed bench row
+# and conformance golden was produced with); the flag remains only as
+# an experiment hook.
 # Exact-f64 always keeps the single-gather form: its byte-exact golden
 # rows were validated against the reference binary with that HLO, and
 # the conformance mode must not trade summation-order risk for speed.
