@@ -164,6 +164,49 @@ void rs_rand01_sequence(long n, int32_t seed, double *out) {
 }
 
 /* ------------------------------------------------------------------ */
+/* Serial full-batch GD (the sub-dispatch-floor fallback engine)       */
+/* ------------------------------------------------------------------ */
+
+/* Problems too small to amortize even one device dispatch (toy
+ * instances: thousands of iterations over a handful of entries) run
+ * the sequential host trajectory — the regime the reference's serial
+ * driver owns (matFact.c:29-59).  Semantics: per iteration, snapshot
+ * both factors, then for every observed entry accumulate
+ *     e = alpha*2*(a - <L_s[i,:], R_s[j,:]>)   (dot over f ascending)
+ *     L[i,f] += e*R_s[j,f];  R[j,f] += e*L_s[i,f]
+ * in entry order.  The build disables FP contraction (-ffp-contract=
+ * off, io/_native.py), so with the identical operation order the f64
+ * trajectory is bit-identical to the reference binary's (which is
+ * built without optimization and never contracts).
+ *
+ * L: (users, k) row-major; R: (items, k) row-major — the transposed
+ * storage the reference also updates (matFact.c:117-120).  Ls/Rs are
+ * caller-provided snapshot scratch of the same shapes.               */
+void rs_serial_gd(long iters, double alpha, long k, long users, long items,
+                  long nnz, const int32_t *rows, const int32_t *cols,
+                  const double *vals, double *L, double *R,
+                  double *Ls, double *Rs) {
+    const long lu_n = users * k, ru_n = items * k;
+    for (long it = 0; it < iters; ++it) {
+        for (long x = 0; x < lu_n; ++x) Ls[x] = L[x];
+        for (long x = 0; x < ru_n; ++x) Rs[x] = R[x];
+        for (long n = 0; n < nnz; ++n) {
+            const double *lp = Ls + (long)rows[n] * k;
+            const double *rp = Rs + (long)cols[n] * k;
+            double dot = 0;
+            for (long f = 0; f < k; ++f) dot += lp[f] * rp[f];
+            double e = alpha * 2 * (vals[n] - dot);
+            double *lu = L + (long)rows[n] * k;
+            double *ru = R + (long)cols[n] * k;
+            for (long f = 0; f < k; ++f) {
+                lu[f] += e * rp[f];
+                ru[f] += e * lp[f];
+            }
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* .in writer (fixture generation fast path)                          */
 /* ------------------------------------------------------------------ */
 

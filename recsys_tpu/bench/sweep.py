@@ -84,6 +84,13 @@ DEFAULT_INSTANCES = [
 # (software-emulated f64 matmuls).
 F64_CELL_LIMIT = 4_000_000  # users*items
 
+# bfloat16 acceptance floor: bf16 is a speed mode whose correctness
+# claim is argmax agreement with the exact-f64 golden.  Rows measuring
+# below this agreement are flagged in the table and must not be quoted
+# as wins (README/STATUS policy); rows with no golden cannot be
+# validated and bf16 should not be used for them.
+BF16_MIN_AGREEMENT = 0.98
+
 
 def _fixture_dir() -> str:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -119,12 +126,16 @@ def run_instance(name: str, dtype: str, repeats: int):
     # attribute an earlier larger instance's peak to every later row.
     hbm_peak_mb = _program_hbm_mb(spec, cfg)
     vmem_mb = _resident_vmem_mb(spec, cfg)
-    return {
+    chosen = trainer.choose_path(spec, cfg)
+    from recsys_tpu.bench.roofline import pct_of_roofline
+
+    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, wall)
+    row = {
         "hbm_peak_mb": hbm_peak_mb,
         "resident_vmem_est_mb": vmem_mb,
         "instance": name,
         "dtype": dtype,
-        "path": trainer.choose_path(spec, cfg),
+        "path": chosen,
         "wall_s": round(wall, 4),
         "updates_per_s": round(spec.iters * spec.nnz / wall),
         "iters": spec.iters,
@@ -134,7 +145,12 @@ def run_instance(name: str, dtype: str, repeats: int):
         "k": spec.features,
         "golden_exact": exact,
         "agreement": None if agree is None else round(agree, 4),
+        "roofline_model": rl_model,
+        "pct_roofline": rl_pct,
     }
+    if dtype == "bfloat16":
+        row["bf16_below_floor"] = agree is None or agree < BF16_MIN_AGREEMENT
+    return row
 
 
 def format_markdown(rows: list[dict]) -> str:
@@ -148,12 +164,15 @@ def format_markdown(rows: list[dict]) -> str:
         "",
         "float64 rows are the exact-conformance mode (byte-identical output; f64 is",
         "software-emulated on TPU). float32/bfloat16 rows are the speed modes (argmax",
-        "agreement reported). Sub-MXU exact-f64 problems (toy instances: tiny matrices,",
-        "100k tiny iterations) route to the host CPU device, where the same HLO runs",
+        "agreement reported). Sub-dispatch-floor problems (toy instances: tiny",
+        "matrices, tiny iterations — path 'host') run the native sequential engine",
+        "(native/recsys_native.c::rs_serial_gd, bit-identical trajectory to the",
+        "reference binary) regardless of dtype; mid-size exact-f64 problems below",
+        "the MXU regime route to the host CPU device, where the same HLO runs",
         "native f64 ~45x faster than TPU software emulation (engine/trainer.py).",
         "",
-        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden | HBM peak (MB) |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden | %roofline | HBM peak (MB) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         # gen-* instances are scale-equivalent regenerations of blobs
@@ -169,18 +188,32 @@ def format_markdown(rows: list[dict]) -> str:
             gold = f"{100 * r['agreement']:.2f}%"
         else:
             gold = "-"
+        if r.get("bf16_below_floor"):
+            gold += " BELOW-FLOOR"
         mem = r.get("hbm_peak_mb")
         vmem = r.get("resident_vmem_est_mb")
         memcol = "-" if mem is None else f"{mem:g}"
         if vmem is not None:
             memcol += f" (+{vmem:g} VMEM)"
+        pct = r.get("pct_roofline")
+        rlcol = "-" if pct is None else f"{pct:g}% {r.get('roofline_model', '')}"
         lines.append(
             f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
-            f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} | {memcol} |"
+            f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} | {rlcol} | {memcol} |"
         )
     lines += [
         "",
         "Notes:",
+        "- '%roofline' compares the measured end-to-end wall against the",
+        "  formulation's hardware minimum (bench/roofline.py): 'hbm' rows model",
+        "  minimum bytes touched per iteration over ~819 GB/s; 'mxu' rows model",
+        "  6*users*items*k FLOPs per iteration over the MXU peak (197 TFLOP/s",
+        "  bf16; f32 at highest precision = 6 passes). 100% = speed of light for",
+        "  that formulation; walls include upload/top-1, so values are",
+        "  conservative. Host-routed and software-f64 dense rows have no model.",
+        f"- bfloat16 policy: rows must reach {100 * BF16_MIN_AGREEMENT:.0f}% argmax agreement with the",
+        "  exact-f64 golden; rows marked BELOW-FLOOR (or without a golden) fail",
+        "  the floor and are excluded from headline claims — use float32 there.",
         "- `gen-*` rows are scale-equivalent regenerations of instances whose `.in`",
         "  blobs are missing upstream (see tests/fixtures/README.md); gen-instML1M",
         "  mirrors ML1M's shape/nnz/hyperparameters and is compared against the",

@@ -81,6 +81,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_enable_x64", True)
+    if getattr(args, "dtype", None) == "bfloat16":
+        # Acceptance policy (bench/sweep.py BF16_MIN_AGREEMENT): bf16 is
+        # a speed mode whose per-instance argmax agreement must be
+        # validated against the exact mode; warn at the point of use.
+        print(
+            "note: bfloat16 is a speed mode — validate argmax agreement vs "
+            "float64 per instance (>=98% floor; see BENCHMARKS.md policy)",
+            file=sys.stderr,
+        )
 
     from recsys_tpu.io.parser import load_problem
     from recsys_tpu.utils.cache import enable_persistent_cache

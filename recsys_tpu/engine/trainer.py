@@ -80,11 +80,43 @@ DENSE_BELL_CROSSOVER_F64 = 2
 DENSE_A_TRANSFER_BUDGET = 256 << 20
 
 
-def choose_path(spec: ProblemSpec, cfg: RunConfig) -> str:
+# Total trajectory work (iters*nnz*k) below which the native sequential
+# engine (native/recsys_native.c::rs_serial_gd — the reference's serial
+# regime, matFact.c:29-59) beats every device path: toy instances are
+# dispatch-floor bound (~1 us/iter XLA-CPU, ~40 ms fixed through the
+# remote TPU attachment) while the native loop runs the whole trajectory
+# in microseconds-to-milliseconds.  Applies to every dtype: the engine
+# computes f64 — strictly tighter than a requested speed dtype — and is
+# bit-identical to the reference binary's trajectory.
+HOST_SERIAL_WORK = 50_000_000
+# ... provided the one-shot numpy top-1 (B = L R^T) stays trivial too.
+HOST_SERIAL_TOP1_FLOPS = 200_000_000
+
+
+def _host_serial_ok(spec: ProblemSpec) -> bool:
+    from recsys_tpu.io import _native
+
+    return (
+        spec.iters * spec.nnz * spec.features <= HOST_SERIAL_WORK
+        and spec.users * spec.items * spec.features <= HOST_SERIAL_TOP1_FLOPS
+        and _native.available()
+    )
+
+
+def choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int = 1, allow_host: bool = True) -> str:
+    """Select the compute formulation for one chip (``n_devices=1``) or
+    for the sharded engine (the A/M blocks shard across the mesh, so the
+    dense budget scales per device; the transfer budget stays global —
+    every byte crosses the one host attachment either way).  The ONE
+    decision function: ``parallel/engine`` calls this too, so crossover
+    tweaks apply to both engines (it passes ``allow_host=False`` — the
+    sharded engine has no host-serial branch)."""
     if cfg.path != "auto":
         return cfg.path
+    if allow_host and n_devices == 1 and _host_serial_ok(spec):
+        return "host"
     itemsize = jnp.dtype(cfg.dtype).itemsize
-    dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES
+    dense_fits = 2 * spec.users * spec.items * itemsize <= DENSE_BUDGET_BYTES * n_devices
     if spec.nnz == 0:
         # Empty problem: gradients are identically zero; COO's empty
         # tables avoid materializing a users*items A that may not fit.
@@ -232,10 +264,12 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
         if host is not None:
             with jax.default_device(host):
                 return factorize(spec, cfg, state, _host_routed=True)
+    path = choose_path(spec, cfg)
+    if path == "host":
+        return _factorize_host_serial(spec, state)
     dt = _as_dtype(cfg.dtype)
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
 
-    path = choose_path(spec, cfg)
     if path in ("dense", "coo"):
         # Only these branches consume the raw factor tables (the
         # pallas/bell paths re-lay them out — and the bell path can
@@ -268,6 +302,28 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     else:
         raise ValueError(f"unknown path {path!r}")
     return MFState(L=L, R=R)
+
+
+def _factorize_host_serial(spec: ProblemSpec, state: MFState | None = None) -> MFState:
+    """The native sequential trajectory (``rs_serial_gd``): factors come
+    back as host float64 arrays, bit-identical to the reference binary's
+    (``matFact.c:29-59`` — same operation order, contraction disabled)."""
+    from recsys_tpu.io import _native
+
+    if state is None:
+        state = init_factors(spec.users, spec.items, spec.features)
+    # Explicit copies: rs_serial_gd updates in place and must not mutate
+    # a caller-owned state (checkpoint/resume threads states through).
+    out = _native.serial_gd(
+        spec,
+        np.array(state.L, np.float64, order="C"),
+        np.array(state.R, np.float64, order="C"),
+    )
+    if out is None:  # no native toolchain: the numpy oracle is the same math
+        from recsys_tpu.engine.oracle import factorize_numpy
+
+        return factorize_numpy(spec, state=state)[0]
+    return MFState(L=out[0], R=out[1])
 
 
 # Above this many glibc draws, the BELL device path generates the
@@ -432,6 +488,8 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
     R0 = jax.ShapeDtypeStruct((spec.items, k), dt)
     alpha2 = jax.ShapeDtypeStruct((), dt)
     path = choose_path(spec, cfg)
+    if path == "host":
+        return None  # native host engine: no device program to analyze
     if path == "bell":
         data = make_bell_inputs(spec, dtype=dt)
         tables = jax.tree.map(sds, data.tables)
@@ -550,6 +608,16 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     """Factorize + recommend; returns (stdout payload, top1 indices)."""
     from recsys_tpu.io.writers import format_recommendations
 
+    if choose_path(spec, cfg) == "host":
+        # Whole pipeline native on host, no device dispatch at all: the
+        # reference's serial regime (matFact.c:29-59 + print_output,
+        # matFact.c:10-27).  Factors are exact f64; the one-shot numpy
+        # top-1 keeps the strictly-greater lowest-index tie-break.
+        from recsys_tpu.engine.oracle import top1_numpy
+
+        state = _factorize_host_serial(spec)
+        top1 = top1_numpy(np.asarray(state.L), np.asarray(state.R), spec)
+        return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     host = _sub_mxu_host_device(spec, cfg)
     if host is not None:
         # Whole pipeline on the host device: factorize sees the CPU

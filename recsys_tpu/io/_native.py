@@ -47,7 +47,11 @@ def _build() -> bool:
     # rs_glibc_rand01 lower to vfmadd instead of a libm call, and (unlike
     # a bare -mfma) only emits instructions the build host itself has, so
     # the cached .so can never SIGILL on the machine that built it.
-    for flags in (["-O3", "-march=native"], ["-O3"]):
+    # -ffp-contract=off: rs_serial_gd's bit-exact-trajectory contract
+    # forbids implicit a*b+c fusion (the reference binary is built
+    # without optimization and never contracts); explicit fma() calls —
+    # the Newton division — are unaffected by the flag.
+    for flags in (["-O3", "-march=native", "-ffp-contract=off"], ["-O3", "-ffp-contract=off"]):
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(
@@ -102,6 +106,13 @@ def _load():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
                 ctypes.c_void_p,
+            ]
+            lib.rs_serial_gd.restype = None
+            lib.rs_serial_gd.argtypes = [
+                ctypes.c_long,
+                ctypes.c_double,
+                *([ctypes.c_long] * 4),
+                *([ctypes.c_void_p] * 7),
             ]
             _lib = lib
         except Exception:
@@ -194,6 +205,39 @@ def rand01(n: int, seed: int):
     out = hugepage_empty(n, np.float64)
     lib.rs_rand01_sequence(n, seed, out.ctypes.data)
     return out
+
+
+def serial_gd(spec, L: np.ndarray, R: np.ndarray):
+    """Run the full sequential GD trajectory in place on (users,k) L and
+    (items,k) R float64 arrays — the reference's serial regime
+    (``matFact.c:29-59``) as this framework's sub-dispatch-floor engine.
+    Returns (L, R) or None to fall back (no native toolchain)."""
+    lib = _load()
+    if lib is None:
+        return None
+    L = np.ascontiguousarray(L, np.float64)
+    R = np.ascontiguousarray(R, np.float64)
+    rows = np.ascontiguousarray(spec.rows, np.int32)
+    cols = np.ascontiguousarray(spec.cols, np.int32)
+    vals = np.ascontiguousarray(spec.vals, np.float64)
+    Ls = np.empty_like(L)
+    Rs = np.empty_like(R)
+    lib.rs_serial_gd(
+        spec.iters,
+        spec.alpha,
+        spec.features,
+        spec.users,
+        spec.items,
+        spec.nnz,
+        rows.ctypes.data,
+        cols.ctypes.data,
+        vals.ctypes.data,
+        L.ctypes.data,
+        R.ctypes.data,
+        Ls.ctypes.data,
+        Rs.ctypes.data,
+    )
+    return L, R
 
 
 def format_entries(rows, cols, vals) -> bytes | None:

@@ -250,15 +250,27 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
     return ratio
 
 
-# A bucket whose gathered row set (w*n*k f32 cells) exceeds this is
-# processed in chunks: XLA materializes a gather consumed by both the
-# prediction and the gradient (measured: f32[2M,700] staged TWICE at
-# gen-inst1e6 shape -> 11.6 GB of HLO temps, HBM OOM), so huge buckets
-# split along n (independent output rows) until each piece's gather
-# fuses into its reductions within bounded memory.  Conformance-tested
-# instances sit far below the threshold and keep the exact single-shot
-# summation order.
-CHUNK_CELLS = 1 << 27  # 512 MB of f32 gather per piece
+# A bucket whose gathered row set exceeds this many BYTES is processed
+# in chunks: XLA materializes a gather consumed by both the prediction
+# and the gradient (measured: f32[2M,700] staged TWICE at gen-inst1e6
+# shape -> 11.6 GB of HLO temps, HBM OOM), so huge buckets split along
+# n (independent output rows) until each piece's gather fuses into its
+# reductions within bounded memory.  Byte-exact-golden instances sit
+# far below the threshold and keep the exact single-shot summation
+# order.  Chunking preserves each output row's mathematical sum (split
+# along n only: every row's reduction lives inside one piece) but XLA
+# may reassociate a reduction differently per piece shape — measured
+# <= 2 ulp f64 factor drift across budgets, argmax output unchanged
+# (test_chunked_rows_independent).
+# The budget is in bytes, not cells: the f32-sized cell constant it
+# replaced let exact-f64 runs stage 2x the intended bytes, and the one
+# f64 shape that overflowed it (gen-inst60000-2000, ~1M gathered rows
+# x k=200) crashed the remote TPU worker twice (STATUS.md round 2).
+CHUNK_BYTES = 1 << 29  # 512 MB of gathered rows per piece
+
+
+def _chunk_cells(dtype) -> int:
+    return CHUNK_BYTES // jnp.dtype(dtype).itemsize
 
 # The gathered row set is consumed twice (prediction, then gradient);
 # a single gather therefore materializes as an HLO temp padded to the
@@ -298,12 +310,13 @@ def _delta_bucket(F_other, fo, idx, vals, alpha2):
     vals: (w, n) ratings (0 = padding slot -> zero row -> zero err)."""
     w, n = idx.shape
     k = F_other.shape[1]
-    if w * n * k <= CHUNK_CELLS or n == 1:
+    chunk_cells = _chunk_cells(F_other.dtype)
+    if w * n * k <= chunk_cells or n == 1:
         g = F_other[idx.reshape(-1)].reshape(w, n, k)
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
         # No re-gather here: this helper runs in the CHUNKED regime
-        # (instances whose gathers exceed CHUNK_CELLS sit at the HBM
+        # (instances whose gathers exceed the chunk budget sit at the HBM
         # edge — 12-19 GB programs on a 16 GB chip), where a second
         # staged gather per piece is exactly the OOM the chunking
         # exists to avoid.  The 19% re-gather win was measured in the
@@ -311,7 +324,7 @@ def _delta_bucket(F_other, fo, idx, vals, alpha2):
         return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
     # Split along n: each column range is an independent set of output
     # rows (chunk count is static; shapes stay static per piece).
-    step = max(CHUNK_CELLS // (w * k), 1)
+    step = max(chunk_cells // (w * k), 1)
     parts = []
     for c0 in range(0, n, step):
         c1 = min(c0 + step, n)
@@ -331,7 +344,7 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     """One side's gradient: per-bucket fused gather-reduce over views of
     one flat index array (one gather per side when small — many small
     gathers pay a fixed ~0.13 ms cost; chunked for huge buckets, see
-    CHUNK_CELLS).  Returns the (n_nz, k) gradient for the nonzero-degree
+    CHUNK_BYTES).  Returns the (n_nz, k) gradient for the nonzero-degree
     prefix.
     """
     if not bounds:
@@ -340,7 +353,7 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     S = cols_flat.shape[0]
     parts = []
     off = 0
-    g_flat = F_other[cols_flat] if S * k <= CHUNK_CELLS else None
+    g_flat = F_other[cols_flat] if S * k <= _chunk_cells(F_other.dtype) else None
     g2_flat = (
         _regather(F_other, cols_flat)
         if g_flat is not None and _use_regather(F_other.dtype)

@@ -51,31 +51,44 @@ def top1_blocked(L, R, mask_blocks, block_items: int):
     return best_idx
 
 
-def top1_rated_blocked(L, R, rated, block_items: int, items_true: int):
-    """Masked top-1 with the mask held as a compact rated-items table.
+def top1_rated_scan(L, R, rated, block_items: int, items_true: int, col0=0):
+    """(best value, best GLOBAL item index) of the masked top-1 with the
+    mask held as a compact rated-items table.
 
-    ``rated``: int32[users, P] — each user's rated item indices, padded
-    with -1.  The dense users×items mask is never built (for
-    inst50000-5000 it is a 250 MB host array whose transfer through the
-    device attachment cost more than the whole training loop); instead
-    each scanned block compares its item indices against the table on
-    device: users × P × block broadcast-compare, fused into the masked
-    argmax.  Falls back to :func:`top1_blocked` via the caller when P is
-    a large fraction of the item count.
+    ``rated``: int32[users, P] — each user's rated item indices in
+    GLOBAL item space, padded with -1.  The dense users×items mask is
+    never built (for inst50000-5000 it is a 250 MB host array whose
+    transfer through the device attachment cost more than the whole
+    training loop); instead each scanned block compares its item indices
+    against the table on device, fused into the masked argmax.
 
-    Returns int32[users] winning item indices.
+    ``col0`` is the global item id of R's row 0 — the sharded top-1
+    passes each shard's block offset (``matFact-mpi.c:51-103``'s
+    column-communicator coordinates) so every shard masks against the
+    one global table.  R may have any row count; rows are padded to a
+    block multiple internally and both the artificial pad rows and the
+    global tail (``col0 + row >= items_true``) are masked.
+
+    Returns (L.dtype[users] best values, int32[users] global indices);
+    a user with everything masked keeps (-inf, col0).
     """
     users = L.shape[0]
     neg = jnp.array(-jnp.inf, dtype=L.dtype)
-    num_blocks = R.shape[0] // block_items
+    rows = R.shape[0]
+    num_blocks = -(-rows // block_items)
+    rows_pad = num_blocks * block_items
+    if rows_pad != rows:
+        R = jnp.pad(R, ((0, rows_pad - rows), (0, 0)))
     R_blocks = R.reshape(num_blocks, block_items, R.shape[1])
+    col0 = jnp.asarray(col0, jnp.int32)
 
     def body(carry, inp):
         best_val, best_idx = carry
         blk_idx, r_blk = inp
         b = L @ r_blk.T  # (users, block_items) on the MXU
-        col = jax.lax.broadcasted_iota(jnp.int32, (users, block_items), 1)
-        col = col + blk_idx * block_items
+        lcol = jax.lax.broadcasted_iota(jnp.int32, (users, block_items), 1)
+        lcol = lcol + blk_idx * block_items
+        gcol = lcol + col0
 
         # Accumulate the rated mask one table column at a time: a single
         # (users, P, block) broadcast-compare tempts XLA into
@@ -84,22 +97,32 @@ def top1_rated_blocked(L, R, rated, block_items: int, items_true: int):
         # intermediate at (users, block).
         def fold(j, acc):
             cj = jax.lax.dynamic_slice_in_dim(rated, j, 1, axis=1)  # (users, 1)
-            return acc | (cj == col)
+            return acc | (cj == gcol)
 
         is_rated = jax.lax.fori_loop(
             0, rated.shape[1], fold, jnp.zeros((users, block_items), bool)
         )
-        b = jnp.where(is_rated | (col >= items_true), neg, b)
+        b = jnp.where(is_rated | (lcol >= rows) | (gcol >= items_true), neg, b)
         val = jnp.max(b, axis=1)
-        idx = jnp.argmax(b, axis=1).astype(jnp.int32) + blk_idx * block_items
+        idx = jnp.argmax(b, axis=1).astype(jnp.int32) + blk_idx * block_items + col0
         take = val > best_val  # strictly greater: incumbent (lower index) wins ties
         return (jnp.where(take, val, best_val), jnp.where(take, idx, best_idx)), None
 
-    init = (jnp.full((users,), neg, dtype=L.dtype), jnp.zeros((users,), jnp.int32))
+    init = (
+        jnp.full((users,), neg, dtype=L.dtype),
+        jnp.full((users,), col0, jnp.int32),
+    )
     (best_val, best_idx), _ = jax.lax.scan(
         body, init, (jnp.arange(num_blocks, dtype=jnp.int32), R_blocks)
     )
-    return best_idx
+    return best_val, best_idx
+
+
+def top1_rated_blocked(L, R, rated, block_items: int, items_true: int):
+    """Single-chip rated-table masked top-1: int32[users] item indices
+    (see :func:`top1_rated_scan`).  Falls back to :func:`top1_blocked`
+    via the caller when P is a large fraction of the item count."""
+    return top1_rated_scan(L, R, rated, block_items, items_true)[1]
 
 
 def make_rated_table(spec: ProblemSpec) -> np.ndarray:

@@ -28,32 +28,14 @@ from recsys_tpu.parallel.step import (
     make_sharded_top1,
 )
 
-DENSE_BUDGET_BYTES = 2 << 30
-
-
 def _choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int) -> str:
-    """Mirror of the single-chip ``trainer.choose_path`` work comparison
-    (dense cells vs BELL slots, dtype-aware crossover), with the dense
-    budget scaled per-device (the A/M blocks shard across the mesh)."""
-    from recsys_tpu.engine.trainer import DENSE_BELL_CROSSOVER, DENSE_BELL_CROSSOVER_F64
-    from recsys_tpu.ops.bell import bell_slot_ratio
+    """The single-chip ``trainer.choose_path`` cost model with the dense
+    budget scaled per-device (the A/M blocks shard across the mesh).
+    One decision function for both engines: crossover tweaks (e.g. the
+    dense-A transfer budget) apply here automatically."""
+    from recsys_tpu.engine.trainer import choose_path
 
-    if cfg.path != "auto":
-        return cfg.path
-    itemsize = jnp.dtype(cfg.dtype).itemsize
-    total = 2 * spec.users * spec.items * itemsize
-    dense_fits = total <= DENSE_BUDGET_BYTES * n_devices
-    if spec.nnz == 0:
-        # Empty problem: avoid materializing unfittable dense A blocks.
-        return "dense" if dense_fits else "coo"
-    cells = spec.users * spec.items
-    slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
-    crossover = (
-        DENSE_BELL_CROSSOVER_F64 if cfg.dtype == "float64" else DENSE_BELL_CROSSOVER
-    )
-    if cells > crossover * slots or not dense_fits:
-        return "bell"
-    return "dense"
+    return choose_path(spec, cfg, n_devices=n_devices, allow_host=False)
 
 
 def factorize_sharded(
@@ -236,18 +218,49 @@ def _factorize_sharded_pallas(spec: ProblemSpec, mesh, state: MFState | None, pr
     return MFState(L=L, R=R)
 
 
-def recommend_sharded(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
-    """Distributed masked top-1; returns int32[users] on host."""
+def sharded_top1_device(state: MFState, spec: ProblemSpec, mesh, putter=None):
+    """Distributed masked top-1; returns the device array (u-sharded,
+    int32[users_pad]) so multi-process callers can gather it themselves.
+
+    Masking uses the compact rated-items table (O(nnz) host/device
+    memory, ``ops.topk.make_rated_table``) unless some user rated most
+    of the item space — the dense users×items mask is built only in
+    that fallback, so the sparse extreme shapes (1000×1M: a ~1 GB bool
+    mask, ~100 GB beyond) run train→top-1 in O(nnz + dims) memory, like
+    the reference's merge-scan top-1 (``matFact-mpi.c:51-103``)."""
+    from recsys_tpu.ops.topk import make_rated_table
+    from recsys_tpu.parallel.step import make_sharded_top1_rated
+
+    if putter is None:
+        putter = jax.device_put
     pu, pi = mesh.devices.shape
     # Dims derive from the factor shapes: the Pallas-sharded path pads
     # beyond the default mesh multiple.
     users_pad = state.L.shape[0]
     items_pad = state.R.shape[0]
     i_blk = items_pad // pi
+    max_rated = int(np.bincount(spec.rows, minlength=spec.users).max()) if spec.nnz else 0
+    if max_rated <= max(spec.items // 8, 128):
+        table = make_rated_table(spec)
+        tpad = np.full((users_pad, table.shape[1]), -1, np.int32)
+        tpad[: spec.users] = table
+        # Bound per-step temps at (u_blk, block) cells per shard, as the
+        # single-chip recommend() does for (users, block).
+        u_blk = users_pad // pu
+        cap = (16_000_000 // max(u_blk, 1)) // 128 * 128
+        block = min(max(cap, 128), -(-i_blk // 128) * 128)
+        top1_fn = make_sharded_top1_rated(mesh, i_blk, spec.items, block)
+        sT = NamedSharding(mesh, P(AXIS_USERS, None))
+        return top1_fn(state.L, state.R, putter(tpad, sT))
     mask = shp.rated_mask_padded(spec, pu, pi, users_pad=users_pad, items_pad=items_pad)
     sM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
     top1_fn = make_sharded_top1(mesh, i_blk)
-    top1 = top1_fn(state.L, state.R, jax.device_put(mask, sM))
+    return top1_fn(state.L, state.R, putter(mask, sM))
+
+
+def recommend_sharded(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
+    """Distributed masked top-1; returns int32[users] on host."""
+    top1 = sharded_top1_device(state, spec, mesh)
     return np.asarray(top1)[: spec.users]
 
 

@@ -39,13 +39,10 @@ import numpy as np
 
 import jax
 from jax.sharding import NamedSharding
-from jax.sharding import PartitionSpec as P
 
 from recsys_tpu.config import ProblemSpec, RunConfig
 from recsys_tpu.models.mf import MFState
-from recsys_tpu.parallel import sharding as shp
-from recsys_tpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS, make_mesh
-from recsys_tpu.parallel.step import make_sharded_top1
+from recsys_tpu.parallel.mesh import make_mesh
 
 
 def initialize(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
@@ -91,14 +88,13 @@ def factorize_multihost(
 
 
 def recommend_multihost(state: MFState, spec: ProblemSpec, mesh) -> np.ndarray:
-    """Distributed top-1, gathered to every process (Gatherv analogue)."""
-    pu, pi = mesh.devices.shape
-    users_pad, items_pad = state.L.shape[0], state.R.shape[0]
-    i_blk = items_pad // pi
-    mask = shp.rated_mask_padded(spec, pu, pi, users_pad=users_pad, items_pad=items_pad)
-    sM = NamedSharding(mesh, P(AXIS_USERS, AXIS_ITEMS))
-    top1_fn = make_sharded_top1(mesh, i_blk)
-    top1 = top1_fn(state.L, state.R, _local_block_array(mask, sM))
+    """Distributed top-1, gathered to every process (Gatherv analogue).
+    Shares the single-process pipeline (compact rated-table masking, see
+    ``parallel.engine.sharded_top1_device``); only array placement and
+    the final cross-process gather differ."""
+    from recsys_tpu.parallel.engine import sharded_top1_device
+
+    top1 = sharded_top1_device(state, spec, mesh, putter=_local_block_array)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 

@@ -238,6 +238,46 @@ def make_bell_train(mesh, alpha2, iters: int, meta):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_sharded_top1_rated(mesh, i_blk: int, items_true: int, block: int):
+    """Jitted sharded top-1 with the rated mask as a compact table:
+    (L, R, rated) -> int32[users_pad] global item indices.
+
+    ``rated``: int32 (users_pad, P) table of each user's rated item ids
+    in GLOBAL item space (-1 pad), sharded P('u', None) — replicated
+    along 'i' like L.  Each shard scans its item block in sub-blocks of
+    ``block`` comparing global column ids against the table
+    (``ops.topk.top1_rated_scan``), so the O(users×items) dense mask of
+    :func:`make_sharded_top1` is never built — the sharded analogue of
+    the reference's merge-against-the-sorted-entry-list masking
+    (``matFact-mpi.c:51-103``), which also never materializes the mask.
+    The cross-shard (value, lowest-global-index) reduction is the same
+    ordered all_gather.
+    """
+    from recsys_tpu.ops.topk import top1_rated_scan
+
+    def local(L, R, rated):
+        my_i = jax.lax.axis_index(AXIS_ITEMS)
+        col0 = my_i * i_blk
+        val, gidx = top1_rated_scan(L, R, rated, block, items_true, col0)
+        vals_g = jax.lax.all_gather(val, AXIS_ITEMS)  # (pi, u_blk), ascending blocks
+        idxs_g = jax.lax.all_gather(gidx, AXIS_ITEMS)
+        # First max across ascending contiguous blocks = lowest global index.
+        win = jnp.argmax(vals_g, axis=0)
+        return jnp.take_along_axis(idxs_g, win[None, :], axis=0)[0]
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS_USERS, None), P(AXIS_ITEMS, None), P(AXIS_USERS, None)),
+        out_specs=P(AXIS_USERS),
+        # Replicated along 'i' by construction (identical all_gather +
+        # argmax on every shard); opt out of the static vma check as in
+        # make_sharded_top1.
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_top1(mesh, i_blk: int):
     """Jitted sharded top-1: (L, R, rated_mask) -> int32[users_pad].
 

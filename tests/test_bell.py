@@ -122,9 +122,11 @@ def test_bell_power_law_degrees():
 
 def test_choose_path_dtype_aware():
     # Sparse instance: f64 switches to BELL well before the speed dtypes.
+    # (allow_host=False probes the device crossover; at iters=1 the auto
+    # path would legitimately pick the native host-serial engine.)
     spec = generate_instance(2000, 2000, 4, 2, 4, iters=1, alpha=0.01, seed=2)
-    assert trainer.choose_path(spec, RunConfig(dtype="float32")) == "bell"
-    assert trainer.choose_path(spec, RunConfig(dtype="float64")) == "bell"
+    assert trainer.choose_path(spec, RunConfig(dtype="float32"), allow_host=False) == "bell"
+    assert trainer.choose_path(spec, RunConfig(dtype="float64"), allow_host=False) == "bell"
     # Dense-ish instance: speed dtypes stay on the dense kernels, exact
     # f64 still prefers the sparse form once cells >> slots.
     ml = load_problem(str(FIXTURES / "instML100k.in"))
@@ -151,6 +153,42 @@ def test_regather_variant_bit_identical(sparse_spec):
         trainer._train_bell.clear_cache()
     np.testing.assert_array_equal(np.asarray(a.L), np.asarray(b.L))
     np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+
+
+def test_chunked_rows_independent(sparse_spec):
+    """The CHUNK_BYTES split is along n (independent output rows):
+    every row's reduction lives inside one piece, so chunking preserves
+    each row's mathematical sum.  XLA may reassociate a reduction
+    differently per piece shape, so the guarantee is a-few-ulps factor
+    agreement plus an UNCHANGED argmax output — the conformance
+    contract for the chunked regime (the dtype whose oversized gathers
+    crashed the TPU worker in round 2 was f64; the byte budget is now
+    dtype-aware).  A tiny budget exercises both the _delta_side
+    flat-gather gate and _delta_bucket's recursive split."""
+    from recsys_tpu.ops import bell as bell_mod
+
+    saved = bell_mod.CHUNK_BYTES
+    try:
+        trainer._train_bell.clear_cache()
+        a = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        out_a, _ = trainer.run(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        # ~97 f64 cells per piece: every bucket chunks, many pieces.
+        bell_mod.CHUNK_BYTES = 777
+        trainer._train_bell.clear_cache()
+        b = trainer.factorize(sparse_spec, RunConfig(dtype="float64", path="bell"))
+        out_b, _ = trainer.run(sparse_spec, RunConfig(dtype="float64", path="bell"))
+    finally:
+        bell_mod.CHUNK_BYTES = saved
+        trainer._train_bell.clear_cache()
+    np.testing.assert_allclose(np.asarray(a.L), np.asarray(b.L), rtol=1e-14, atol=0)
+    np.testing.assert_allclose(np.asarray(a.R), np.asarray(b.R), rtol=1e-14, atol=0)
+    assert out_a == out_b
+
+
+def test_chunk_budget_dtype_aware():
+    from recsys_tpu.ops import bell as bell_mod
+
+    assert bell_mod._chunk_cells(np.float64) * 2 == bell_mod._chunk_cells(np.float32)
 
 
 def test_regather_disabled_for_f64():

@@ -116,3 +116,16 @@ def test_inst1000_1e6_sharded_bell_executes():
         np.asarray(sharded.R)[: spec.items], np.asarray(single.R),
         rtol=2e-5, atol=2e-7,
     )
+    # End-to-end: the sharded top-1 runs at this scale in O(nnz + dims)
+    # memory (compact rated-table masking — the dense users*items bool
+    # mask would be ~1 GB here and was the round-2 scaling gap).
+    from recsys_tpu.parallel.engine import recommend_sharded
+
+    top1 = recommend_sharded(sharded, spec, mesh)
+    assert top1.shape == (spec.users,)
+    L = np.asarray(sharded.L)[: spec.users]
+    R = np.asarray(sharded.R)[: spec.items]
+    for u in (0, 1, 7, 499, 999):
+        preds = (L[u] @ R.T).astype(np.float32)
+        preds[spec.cols[spec.rows == u]] = -np.inf
+        assert top1[u] == int(np.argmax(preds))  # first max = lowest index

@@ -140,7 +140,7 @@ def test_bfloat16_dense_path_cpu_smoke():
     from recsys_tpu.io.generator import generate_instance
 
     spec = generate_instance(24, 30, 4, 2, 6, iters=20, alpha=0.01, seed=17)
-    assert trainer.choose_path(spec, RunConfig(dtype="bfloat16")) in ("dense", "coo")
+    assert trainer.choose_path(spec, RunConfig(dtype="bfloat16"), allow_host=False) in ("dense", "coo")
     out, top1 = trainer.run(spec, RunConfig(dtype="bfloat16", path="dense"))
     assert len(top1) == spec.users
     # bf16 should agree with f64 on most argmaxes even at this tiny scale.
