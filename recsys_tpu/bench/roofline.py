@@ -21,14 +21,41 @@ Peak constants (TPU v5e, one chip — the attachment hardware):
            per product (the fused kernels' configuration), so f32 peak
            is modelled at 197/6.  Software-emulated f64 has no
            meaningful peak — dense-f64 rows report no percentage.
+  Gather   the sparse paths' real ceiling is XLA's row-gather engine,
+           NOT HBM bytes: the synthetic probe (probe_gather_rate.py,
+           2026-08-19, idle attachment) measured ~208 M rows/s for f32
+           rows up to 512 B — independent of row width (k32 == k128),
+           dtype (bf16/int8 identical), index order, and duplication —
+           and ~120 M rows/s for f64 rows; only >=256-lane rows raise
+           byte throughput (k512: 102 M rows/s = 209 GB/s).  Production
+           BELL programs measured 192-261 M f32 rows/s across instances
+           and attachment states (probe_bell_floor.py), so the modelled
+           ceiling is the best SUSTAINED observation (260 M f32 rows/s;
+           nothing measured ever beat it) — expect %roofline spread of
+           ~+/-25% from engine-state variance, not from the model.
+           In-kernel alternatives are unavailable: Mosaic cannot lower
+           vector gathers (probe_mosaic_gather.py P1-P3 repro) and f64
+           bitcast_convert_type crashes this toolchain's compiler, so
+           the engine rate IS the sparse-path roofline.
 """
 
 from __future__ import annotations
 
-import numpy as np
-
 HBM_GBPS = 819.0
 MXU_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 6.0}
+GATHER_ROWS_PER_S = {"float32": 260e6, "bfloat16": 260e6, "float64": 120e6}
+GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
+
+
+def gather_row_seconds(k: int, dtype: str) -> float:
+    """Seconds per gathered row: the engine's row rate, capped by the
+    wide-row byte rate once padded rows exceed ~1 KB (both measured,
+    probe_gather_rate.py).  Row bytes use the 128-lane padded width the
+    sparse paths actually gather."""
+    es = 8 if dtype == "float64" else (2 if dtype == "bfloat16" else 4)
+    kp = -(-k // 128) * 128
+    rate = GATHER_ROWS_PER_S.get(dtype, GATHER_ROWS_PER_S["float32"])
+    return max(1.0 / rate, kp * es / (GATHER_BYTES_GBPS * 1e9))
 
 
 def train_cost_model(spec, cfg, path: str):
@@ -38,25 +65,20 @@ def train_cost_model(spec, cfg, path: str):
     es = 8 if cfg.dtype == "float64" else (2 if cfg.dtype == "bfloat16" else 4)
     k = spec.features
     if path == "bell":
-        # HBM-bound: both sides' fused gather-reduces.  Minimum traffic
-        # per iteration: the gathered opposite-side rows (slots x k),
-        # the rating and index tables (slots x (es + 4)), and the
-        # own-side factor rows — read once for the prediction and
-        # read-modify-written by the update (3 x nnz-rows x k).
+        # Gather-engine-bound (measured, probe_gather_rate.py — NOT HBM
+        # bytes: the engine delivers ~208 M f32 rows/s regardless of row
+        # width, ~1/7 of what the HBM byte model would predict for k<=128).
+        # Minimum rows per iteration: both sides' fused gather-reduces
+        # fetch the opposite-side factor row once per occupied slot.
         from recsys_tpu.ops.bell import bell_slot_ratio
 
         slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
-        nz_u = int(np.count_nonzero(np.bincount(spec.rows, minlength=spec.users)))
-        nz_i = int(np.count_nonzero(np.bincount(spec.cols, minlength=spec.items)))
-        bytes_per_iter = (
-            slots * k * es + slots * (es + 4) + 3 * (nz_u + nz_i) * k * es
-        )
-        return "hbm", bytes_per_iter / (HBM_GBPS * 1e9)
+        return "gather", slots * gather_row_seconds(k, cfg.dtype)
     if path == "coo":
-        # HBM-bound: two gathers of k-rows per entry per side plus the
-        # segment-reduction write traffic (~one k-row per active row).
-        bytes_per_iter = 4 * spec.nnz * k * es + 2 * (spec.users + spec.items) * k * es
-        return "hbm", bytes_per_iter / (HBM_GBPS * 1e9)
+        # Gather-engine-bound: two k-row gathers per entry per side
+        # (L[row], R[col] for the prediction; the segment reduction's
+        # write traffic is a second-order term at the engine's row rate).
+        return "gather", 4.0 * spec.nnz * gather_row_seconds(k, cfg.dtype)
     if path in ("pallas", "dense"):
         if cfg.dtype == "float64":
             return None, None  # software-emulated: no datasheet peak

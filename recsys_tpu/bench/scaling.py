@@ -104,7 +104,8 @@ def measure_cpu_mesh(spec, cfg, shapes, warmup=1, repeats=3):
     state = init_factors(spec.users, spec.items, spec.features)
     rows = []
     for pu, pi in shapes:
-        mesh = make_mesh(spec.users, spec.items, shape=(pu, pi))
+        devs = jax.devices()[: pu * pi]
+        mesh = make_mesh(spec.users, spec.items, shape=(pu, pi), devices=devs)
         for _ in range(warmup):
             factorize_sharded(spec, cfg, state=state, mesh=mesh)
         walls = []
@@ -184,12 +185,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # The measurement leg needs the 8-device virtual CPU mesh — never
-    # the (single-chip) TPU attachment.  Must precede any jax import.
-    assert "jax" not in sys.modules, "scaling CLI must own jax initialization"
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
+    # the (single-chip) TPU attachment.  Must precede backend init
+    # (conftest.py uses the same switches for the test suite).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
     import dataclasses
 
@@ -202,7 +203,7 @@ def main(argv=None):
     cfg = RunConfig(dtype=args.dtype)
     path = trainer.choose_path(spec, cfg, allow_host=False)
     mspec = dataclasses.replace(spec, iters=args.iters)
-    shapes = _mesh_shapes(8) + [(1, 1)]
+    shapes = [s for n in (1, 2, 4, 8) for s in _mesh_shapes(n)]
     shapes = sorted(set(shapes), key=lambda s: (s[0] * s[1], s[0]))
     cpu_rows = measure_cpu_mesh(mspec, cfg, shapes)
     md = render_markdown(spec, cfg, path, args.instance, cpu_rows)

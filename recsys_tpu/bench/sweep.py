@@ -205,12 +205,16 @@ def format_markdown(rows: list[dict]) -> str:
         "",
         "Notes:",
         "- '%roofline' compares the measured end-to-end wall against the",
-        "  formulation's hardware minimum (bench/roofline.py): 'hbm' rows model",
-        "  minimum bytes touched per iteration over ~819 GB/s; 'mxu' rows model",
-        "  6*users*items*k FLOPs per iteration over the MXU peak (197 TFLOP/s",
-        "  bf16; f32 at highest precision = 6 passes). 100% = speed of light for",
-        "  that formulation; walls include upload/top-1, so values are",
-        "  conservative. Host-routed and software-f64 dense rows have no model.",
+        "  formulation's hardware minimum (bench/roofline.py): 'gather' rows",
+        "  model the sparse paths' gathered rows over the MEASURED XLA",
+        "  row-gather engine ceiling (260 M f32 / 120 M f64 rows/s, best",
+        "  sustained observation; engine-state variance is ~+/-25% — the",
+        "  engine, not HBM bytes, is the sparse ceiling, bench/roofline.py);",
+        "  'mxu' rows model 6*users*items*k FLOPs per iteration over",
+        "  the MXU peak (197 TFLOP/s bf16; f32 at highest precision = 6",
+        "  passes). 100% = speed of light for that formulation; walls include",
+        "  upload/top-1, so values are conservative. Host-routed and",
+        "  software-f64 dense rows have no model.",
         f"- bfloat16 policy: rows must reach {100 * BF16_MIN_AGREEMENT:.0f}% argmax agreement with the",
         "  exact-f64 golden; rows marked BELOW-FLOOR (or without a golden) fail",
         "  the floor and are excluded from headline claims — use float32 there.",
@@ -238,6 +242,9 @@ def format_markdown(rows: list[dict]) -> str:
         "  program (arguments + temps + output; exact — it is what the compiler",
         "  reserves). '+VMEM' is the resident kernel's estimated on-chip working",
         "  set, which HBM numbers do not include.",
+        "- Scaling (comm-volume model, projected ICI efficiency, CPU-mesh",
+        "  measurements): see the Scaling section below (source: docs/SCALING.md,",
+        "  regenerate with `python -m recsys_tpu.bench.scaling`).",
         "- Measurement provenance: rows are idle-host, dedicated-process",
         "  measurements (min over repeats after a warm-up compile). On",
         "  2026-08-18 an exact-f64 run of gen-inst60000-2000 crashed the remote",
