@@ -135,6 +135,15 @@ def main():
         agree16 = sum(x == y for x, y in zip(out16.splitlines(), glines)) / len(glines)
     except Exception:  # bf16 is a bonus row; never fail the headline on it
         wall16, agree16 = float("nan"), float("nan")
+    try:
+        if jax.default_backend() == "cpu":
+            # bf16x3 only differs from f32 inside the fused MXU kernels,
+            # which the CPU fallback never selects — skip the bonus row.
+            raise RuntimeError("bf16x3 row is TPU-only")
+        wall3, out3 = timed_run(spec, RunConfig(dtype="float32", precision="bf16x3"))
+        agree3 = sum(x == y for x, y in zip(out3.splitlines(), glines)) / len(glines)
+    except Exception:  # bonus row; never fail the headline on it
+        wall3, agree3 = float("nan"), float("nan")
 
     print(
         json.dumps(
@@ -150,6 +159,9 @@ def main():
                 "wall_bf16_s": round(wall16, 4),
                 "vs_baseline_bf16": round(BASELINE_SERIAL_S / wall16, 2),
                 "argmax_agreement_bf16": round(agree16, 4),
+                "wall_f32x3_s": round(wall3, 4),
+                "vs_baseline_f32x3": round(BASELINE_SERIAL_S / wall3, 2),
+                "argmax_agreement_f32x3": round(agree3, 4),
                 "vs_best_published_f64": round(BASELINE_BEST_S / wall64, 2),
                 "updates_per_s_f64": round(spec.iters * spec.nnz / wall64),
                 "updates_per_s_f32": round(spec.iters * spec.nnz / wall32),

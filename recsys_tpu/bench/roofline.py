@@ -86,6 +86,8 @@ def train_cost_model(spec, cfg, path: str):
         # (prediction, dL, dR), 2 FLOPs per MAC.
         flops_per_iter = 6.0 * spec.users * spec.items * k
         peak = MXU_TFLOPS["bfloat16" if cfg.dtype == "bfloat16" else "float32"]
+        if cfg.dtype == "float32" and getattr(cfg, "precision", "auto") == "bf16x3":
+            peak = 197.0 / 3.0  # 3-pass split product (ops/pallas_dense._dot)
         return "mxu", flops_per_iter / (peak * 1e12)
     return None, None
 

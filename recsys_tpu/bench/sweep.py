@@ -104,7 +104,14 @@ def run_instance(name: str, dtype: str, repeats: int):
 
     path = os.path.join(_fixture_dir(), f"{name}.in")
     spec = load_problem(path)
-    cfg = RunConfig(dtype=dtype)
+    # "f32x3" is the f32 mode with 3-pass split-product matmuls in the
+    # fused dense kernels (RunConfig.precision="bf16x3"): a speed tier
+    # between f32-highest and bf16, gated by the same agreement floor.
+    cfg = (
+        RunConfig(dtype="float32", precision="bf16x3")
+        if dtype == "f32x3"
+        else RunConfig(dtype=dtype)
+    )
     out, _ = trainer.run(spec, cfg)  # warm-up compiles
     walls = []
     for _ in range(repeats):
@@ -148,7 +155,9 @@ def run_instance(name: str, dtype: str, repeats: int):
         "roofline_model": rl_model,
         "pct_roofline": rl_pct,
     }
-    if dtype == "bfloat16":
+    if dtype in ("bfloat16", "f32x3"):
+        # Reduced-pass speed tiers share the acceptance floor: quote a
+        # row only if it reaches the agreement floor against the golden.
         row["bf16_below_floor"] = agree is None or agree < BF16_MIN_AGREEMENT
     return row
 
@@ -260,7 +269,7 @@ def format_markdown(rows: list[dict]) -> str:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="recsys-tpu-sweep")
-    ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16", "f32x3"])
     ap.add_argument("--out", default=None, help="write a markdown table here")
     ap.add_argument("--jsonl", default=None, help="append JSONL rows here")
     ap.add_argument("--instances", default=None, help="comma-separated subset")

@@ -29,6 +29,11 @@ def _add_common(p):
     )
     p.add_argument("--dtype", default=None, help="float32|float64|bfloat16 (default: f32 on TPU, f64 on CPU)")
     p.add_argument("--path", default="auto", choices=["auto", "dense", "bell", "coo", "pallas"])
+    p.add_argument(
+        "--precision", default="auto", choices=["auto", "highest", "bf16x3", "default"],
+        help="MXU pass policy for the f32 dense kernels (auto: f32=highest, bf16=default; "
+        "bf16x3 = 3-pass split product, ~2x matmul throughput at ~16-bit mantissa)",
+    )
     p.add_argument("--mesh", default=None, help="RxC mesh override, e.g. 4x2 (multi-device)")
     p.add_argument("--block-items", type=int, default=4096)
     p.add_argument("--no-time", action="store_true", help="suppress the trailing time line")
@@ -120,7 +125,10 @@ def main(argv=None):
     if args.mesh:
         r, c = args.mesh.lower().split("x")
         mesh_shape = (int(r), int(c))
-    cfg = RunConfig(dtype=args.dtype, path=args.path, mesh_shape=mesh_shape, block_items=args.block_items)
+    cfg = RunConfig(
+        dtype=args.dtype, path=args.path, mesh_shape=mesh_shape,
+        block_items=args.block_items, precision=getattr(args, "precision", "auto"),
+    )
 
     def _banner(spec):
         # The reference's print_dataset_info (datatypes.c:19-24), on stderr

@@ -103,6 +103,19 @@ def _host_serial_ok(spec: ProblemSpec) -> bool:
     )
 
 
+def mxu_precision(cfg: RunConfig) -> str:
+    """MXU pass policy for the f32 dense kernels (the ONE mapping —
+    ``parallel/engine`` and ``run()`` call this too).  "auto" keeps the
+    conservative default: true-f32 (6-pass) products for float32 and the
+    single-pass product for bfloat16.  ``cfg.precision="bf16x3"`` opts
+    into the 3-pass split product (~16-bit mantissa,
+    ``ops/pallas_dense._dot``) — a speed tier validated like bf16, by
+    argmax agreement against the exact-f64 golden."""
+    if cfg.precision != "auto":
+        return cfg.precision
+    return "default" if cfg.dtype == "bfloat16" else "highest"
+
+
 def choose_path(spec: ProblemSpec, cfg: RunConfig, n_devices: int = 1, allow_host: bool = True) -> str:
     """Select the compute formulation for one chip (``n_devices=1``) or
     for the sharded engine (the A/M blocks shard across the mesh, so the
@@ -282,10 +295,7 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
     if path == "pallas":
         if not pallas_dense.mask_is_implicit(spec):
             raise ValueError("pallas path requires all ratings non-zero (implicit mask)")
-        # dtype bfloat16 selects single-pass-bf16 MXU matmuls (storage
-        # and accumulation stay f32); float32 selects true-f32 passes.
-        precision = "default" if cfg.dtype == "bfloat16" else "highest"
-        return _factorize_pallas(spec, state, precision=precision)
+        return _factorize_pallas(spec, state, precision=mxu_precision(cfg))
     if path == "dense":
         A, M = make_dense_inputs(spec, dtype=dt)
         L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
@@ -459,10 +469,12 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
     # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
     # bound: single-pass bf16 matmuls measured SLOWER than 6-pass
     # f32 (6.58 s vs 4.12 s on gen-ML1M, BENCHMARKS r1) while
-    # costing accuracy — so bf16 falls back to full precision here.
+    # costing accuracy — so bf16 falls back to full precision here
+    # (an explicit bf16x3 request is honored: same storage, 3 passes).
     Lp, Rp = pallas_dense.tiled_train(
         jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
-        iters=spec.iters, bu=bu, bi=bi, precision="highest",
+        iters=spec.iters, bu=bu, bi=bi,
+        precision="highest" if precision == "default" else precision,
     )
     return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
 
@@ -636,8 +648,7 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
         # silently train with that entry masked out.
         and pallas_dense.mask_is_implicit(spec)
     ):
-        precision = "default" if cfg.dtype == "bfloat16" else "highest"
-        top1 = _pallas_fused_top1(spec, precision)
+        top1 = _pallas_fused_top1(spec, mxu_precision(cfg))
         return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     # BELL runs end-to-end device-resident: train -> un-permute ->
     # top-1 all on device; only the int32 indices are downloaded.

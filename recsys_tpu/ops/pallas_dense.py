@@ -73,6 +73,54 @@ def _interpret(flag: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bsplit(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-term bf16 decomposition of an f32 array: ``hi`` is x rounded
+    to bf16, ``lo`` the bf16-rounded residual.  hi + lo carries ~16
+    mantissa bits of x (vs bf16's 8, f32's 24)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _maybe_split(x, precision: str):
+    """Pre-split an operand shared by several ``_dot`` calls so its VPU
+    decomposition runs once (only the bf16x3 mode splits)."""
+    return _bsplit(x) if precision == "bf16x3" else x
+
+
+def _dot(a, b, dims, precision: str) -> jnp.ndarray:
+    """All kernel matmuls route here.  ``precision`` selects the MXU
+    pass count for f32 operands:
+
+    - ``"highest"``: XLA's true-f32 product (6 single-pass bf16 terms).
+    - ``"bf16x3"``: manual 3-pass split product — each operand is
+      decomposed hi + lo (``_bsplit``) and a·b is evaluated as
+      hi·lo + lo·hi + hi·hi (the lo·lo term, ~2⁻³² relative, is
+      dropped).  Same scheme XLA uses for ``Precision.HIGH`` on TPU,
+      which Mosaic cannot lower (probe_resident_profile.py) — hence the
+      manual form.  ~2× the MXU throughput of "highest" at ~16-bit
+      mantissa accuracy; accumulation stays f32.
+    - ``"default"``: single-pass bf16 rounding of the operands.
+
+    Operands may be pre-split (hi, lo) tuples from ``_maybe_split``.
+    """
+    if precision == "bf16x3":
+        ah, al = a if isinstance(a, tuple) else _bsplit(a)
+        bh, bl = b if isinstance(b, tuple) else _bsplit(b)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32, precision="default"
+            )
+
+        # Small terms first: their sum is exact-ish before the big term.
+        return (d(ah, bl) + d(al, bh)) + d(ah, bh)
+    # _maybe_split never splits outside bf16x3, so operands are raw here.
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
 def _load_a(A_ref, off, strip) -> jnp.ndarray:
     """One (U, strip) f32 slab of A from its storage dtype.  int8 holds
     2x the rating (half-star scales are integers there); x0.5 is exact
@@ -112,22 +160,15 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
         # dequantized by an EXACT x0.5), shrinking its VMEM footprint
         # 2x/4x; the error math stays f32 and results are bit-identical.
         a = _load_a(A_ref, off, strip)  # (U, strip) f32
-        rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip)
+        rt = _maybe_split(Rtout_ref[:, pl.dslice(off, strip)], precision)  # (K, strip)
         # E strip: masked error on the MXU. (A != 0) is the mask.
-        pred = jax.lax.dot_general(
-            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        e = jnp.where(a != 0.0, a - pred, 0.0)
+        pred = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
+        e = _maybe_split(jnp.where(a != 0.0, a - pred, 0.0), precision)
         # (K, strip) x (U, strip)^T -> (K, U): streams K rows only.
-        dLt_ref[:] += jax.lax.dot_general(
-            rt, e, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dLt_ref[:] += _dot(rt, e, (((1,), (1,)), ((), ())), precision)
         # (K, U) x (U, strip) -> (K, strip): streams K rows only.
-        dRt_ref[:, pl.dslice(off, strip)] = jax.lax.dot_general(
-            Ltout_ref[:], e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        dRt_ref[:, pl.dslice(off, strip)] = _dot(
+            Ltout_ref[:], e, (((1,), (0,)), ((), ())), precision
         )
 
     def iter_body(_, carry):
@@ -165,7 +206,8 @@ def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, in
     mult of ``strip`` (itself a mult of 128); factors float32,
     zero-padded; A float32 or bfloat16.
     ``precision``: MXU pass count for the f32 matmuls — "highest" is
-    true-f32 accuracy (6 bf16 passes), "default" is single-pass bf16.
+    true-f32 accuracy (6 bf16 passes), "bf16x3" the manual 3-pass split
+    product (~16-bit mantissa, see ``_dot``), "default" single-pass bf16.
     Returns K-major (Lt', Rt') after ``iters`` full-batch GD steps.
     """
     K, U = Lt.shape
@@ -245,18 +287,12 @@ def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref
     rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip) VMEM slice
 
     def train_step():
-        pred = jax.lax.dot_general(
-            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        e = jnp.where(a != 0.0, a - pred, 0.0)
-        dLt_ref[:] += jax.lax.dot_general(
-            rt, e, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        dRt_ref[:, pl.dslice(off, strip)] = jax.lax.dot_general(
-            Ltout_ref[:], e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        rts = _maybe_split(rt, precision)
+        pred = _dot(Lu_ref[:], rts, (((1,), (0,)), ((), ())), precision)
+        e = _maybe_split(jnp.where(a != 0.0, a - pred, 0.0), precision)
+        dLt_ref[:] += _dot(rts, e, (((1,), (1,)), ((), ())), precision)
+        dRt_ref[:, pl.dslice(off, strip)] = _dot(
+            Ltout_ref[:], e, (((1,), (0,)), ((), ())), precision
         )
 
         @pl.when(s == n_strips - 1)
@@ -288,10 +324,7 @@ def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref
             bv_ref[:] = jnp.full_like(bv_ref, -jnp.inf)
             top_ref[:] = jnp.zeros_like(top_ref)
 
-        b = jax.lax.dot_general(
-            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        b = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
         col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
         b = jnp.where((a != 0.0) | (col >= items_true), -jnp.inf, b)
         val = jnp.max(b, axis=1, keepdims=True)
@@ -404,12 +437,10 @@ def _dl_kernel(A_ref, L_ref, R_ref, dL_ref, *, precision):
     def _():
         dL_ref[:] = jnp.zeros_like(dL_ref)
 
-    pred = jax.lax.dot_general(
-        L_ref[:], R_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    R = _maybe_split(R_ref[:], precision)
+    pred = _dot(L_ref[:], R, (((1,), (1,)), ((), ())), precision)
     e = jnp.where(A_ref[:] != 0.0, A_ref[:] - pred, 0.0)
-    dL_ref[:] += jnp.dot(e, R_ref[:], preferred_element_type=jnp.float32, precision=precision)
+    dL_ref[:] += _dot(e, R, (((1,), (0,)), ((), ())), precision)
 
 
 def _dr_kernel(A_ref, L_ref, R_ref, dR_ref, *, precision):
@@ -420,15 +451,10 @@ def _dr_kernel(A_ref, L_ref, R_ref, dR_ref, *, precision):
     def _():
         dR_ref[:] = jnp.zeros_like(dR_ref)
 
-    pred = jax.lax.dot_general(
-        L_ref[:], R_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    L = _maybe_split(L_ref[:], precision)
+    pred = _dot(L, R_ref[:], (((1,), (1,)), ((), ())), precision)
     e = jnp.where(A_ref[:] != 0.0, A_ref[:] - pred, 0.0)
-    dR_ref[:] += jax.lax.dot_general(
-        e, L_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    dR_ref[:] += _dot(e, L, (((0,), (0,)), ((), ())), precision)
 
 
 def tiled_deltas(L, R, A, *, bu: int = 1024, bi: int = 1024, interpret: bool | None = None, precision: str = "highest"):
@@ -505,10 +531,7 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
     def top1_strip(off):
         a = _load_a(A_ref, off, strip)
         rt = Rtout_ref[:, pl.dslice(off, strip)]
-        b = jax.lax.dot_general(
-            Lu_ref[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        b = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
         col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
         b = jnp.where((a != 0.0) | (col >= items_true), neg, b)
         val = jnp.max(b, axis=1, keepdims=True)  # (U, 1)

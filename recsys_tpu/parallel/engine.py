@@ -72,8 +72,9 @@ def factorize_sharded(
     ):
         # Multi-chip form of the fused Pallas dense path: per-shard
         # tiled-kernel deltas + the two axis psums.
-        precision = "default" if cfg.dtype == "bfloat16" else "highest"
-        return _factorize_sharded_pallas(spec, mesh, state, precision, putter), mesh
+        from recsys_tpu.engine.trainer import mxu_precision
+
+        return _factorize_sharded_pallas(spec, mesh, state, mxu_precision(cfg), putter), mesh
     if path == "bell" and spec.nnz:
         return _factorize_sharded_bell(spec, cfg, mesh, state, putter), mesh
 

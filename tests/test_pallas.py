@@ -289,3 +289,46 @@ def test_run_uses_fused_kernel_golden(small_spec):
     spec = dataclasses.replace(small_spec, iters=20)
     out, _ = trainer.run(spec, RunConfig(dtype="float32", path="pallas"))
     assert out == run_oracle(spec)
+
+
+def test_resident_bf16x3_accuracy_ladder(small_spec):
+    """The 3-pass split product sits strictly between single-pass bf16
+    and true-f32: its factor error vs the f64 oracle must be far below
+    "default"'s and within a small multiple of "highest"'s."""
+    ref = _reference_factors(small_spec, 5)
+
+    def err(precision):
+        Lt, Rt, A, _ = pad_for_pallas(small_spec, strip=128)
+        Ltp, _ = resident_train(
+            Lt, Rt, A, iters=5, alpha2=2 * small_spec.alpha, strip=128,
+            precision=precision,
+        )
+        L = np.asarray(Ltp)[: small_spec.features, : small_spec.users].T
+        return float(np.max(np.abs(L - ref.L)))
+
+    import jax
+
+    e_hi, e_3, e_lo = err("highest"), err("bf16x3"), err("default")
+    assert e_3 <= 64 * max(e_hi, 1e-9), (e_hi, e_3, e_lo)
+    if jax.default_backend() == "tpu":
+        # On CPU "default" is full f32 (no MXU pass semantics), so the
+        # lower rung only exists on real hardware.
+        assert e_3 < e_lo / 4, (e_hi, e_3, e_lo)
+    # The split product is genuinely lossy everywhere (the _bsplit
+    # rounding happens in the kernel): ~16-bit-mantissa accurate, far
+    # tighter than 1e-3 vs the f64 oracle after 5 iters.
+    assert 0 < e_3 < 1e-3
+
+
+def test_run_golden_bf16x3(small_spec):
+    """Full run() through the fused kernel with the 3-pass split product
+    still reproduces the oracle's top-1 output exactly."""
+    import dataclasses
+
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.engine.oracle import run_oracle
+
+    spec = dataclasses.replace(small_spec, iters=20)
+    out, _ = trainer.run(spec, RunConfig(dtype="float32", path="pallas", precision="bf16x3"))
+    assert out == run_oracle(spec)
