@@ -252,8 +252,8 @@ def format_markdown(rows: list[dict]) -> str:
         "  reserves). '+VMEM' is the resident kernel's estimated on-chip working",
         "  set, which HBM numbers do not include.",
         "- Scaling (comm-volume model, projected ICI efficiency, CPU-mesh",
-        "  measurements): see the Scaling section below (source: docs/SCALING.md,",
-        "  regenerate with `python -m recsys_tpu.bench.scaling`).",
+        "  measurements): spliced in below from docs/SCALING.md (regenerate",
+        "  with `python -m recsys_tpu.bench.scaling`).",
         "- Measurement provenance: rows are idle-host, dedicated-process",
         "  measurements (min over repeats after a warm-up compile). On",
         "  2026-08-18 an exact-f64 run of gen-inst60000-2000 crashed the remote",
@@ -286,6 +286,14 @@ def main(argv=None):
         for r in rows:
             latest[(r["instance"], r["dtype"])] = r
         md = format_markdown(list(latest.values()))
+        # The scaling section (comm-volume model + CPU-mesh tables) lives
+        # in docs/SCALING.md (regenerated by bench.scaling); splice it in
+        # so BENCHMARKS.md carries the reference's scaling-table analogue.
+        scaling_md = os.path.join(
+            os.path.dirname(os.path.dirname(_fixture_dir())), "docs", "SCALING.md"
+        )
+        if os.path.exists(scaling_md):
+            md += "\n" + open(scaling_md).read()
         if args.out:
             open(args.out, "w").write(md)
         else:

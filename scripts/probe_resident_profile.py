@@ -115,6 +115,7 @@ def matmul_only(precision):
 
 VARIANTS = {
     "full prec=highest A=f32": lambda: train_fn(A32, "highest"),
+    "full prec=bf16x3 A=f32": lambda: train_fn(A32, "bf16x3"),
     "full prec=default A=f32": lambda: train_fn(A32, "default"),
     "full prec=highest A=int8": lambda: train_fn(A8, "highest"),
     "full prec=highest strip=2048": lambda: train_fn(A32, "highest", strip=2048),
