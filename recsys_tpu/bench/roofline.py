@@ -51,9 +51,16 @@ def gather_row_seconds(k: int, dtype: str) -> float:
     """Seconds per gathered row: the engine's row rate, capped by the
     wide-row byte rate once padded rows exceed ~1 KB (both measured,
     probe_gather_rate.py).  Row bytes use the 128-lane padded width the
-    sparse paths actually gather."""
+    sparse paths actually gather.  f64 rows with 3k <= 128 gather their
+    exact 3xf32 split form (ops/bell.py SPLIT_GATHER_F64) — one f32 row
+    per slot at the f32 engine rate."""
+    from recsys_tpu.ops.bell import _use_split_gather
+
     es = 8 if dtype == "float64" else (2 if dtype == "bfloat16" else 4)
     kp = -(-k // 128) * 128
+    if dtype == "float64" and _use_split_gather("float64", k):
+        es, kp = 4, -(-(3 * k) // 128) * 128
+        dtype = "float32"
     rate = GATHER_ROWS_PER_S.get(dtype, GATHER_ROWS_PER_S["float32"])
     return max(1.0 / rate, kp * es / (GATHER_BYTES_GBPS * 1e9))
 

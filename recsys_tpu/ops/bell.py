@@ -305,14 +305,72 @@ def _regather(F_other, idx_flat):
     return F_other[jax.lax.optimization_barrier(idx_flat)]
 
 
-def _delta_bucket(F_other, fo, idx, vals, alpha2):
+# --- exact split-gather for f64 tables -------------------------------
+#
+# The gather engine moves f64 rows at ~120 M rows/s vs ~260 M rows/s
+# for f32 rows up to 128 lanes (probe_gather_rate.py) — exactly the
+# VERDICT r2 "128-lane padding tax": any k <= 128 pads an f64 row to a
+# 1 KB transaction.  Every finite normal-range f64 is the EXACT sum of
+# three f32 values (Dekker-style: hi = f32(x), mid = f32(x - hi),
+# lo = f32(x - hi - mid); x - hi has <= 29 significant bits, so
+# mid + lo == x - hi exactly and hi + (mid + lo) == x in two exact f64
+# adds).  Splitting the opposite-side factor table to an (n, 3k) f32
+# table per iteration (O(dims*k) VPU work, trivial next to O(nnz)
+# gathers) therefore moves the SAME rows at the f32 engine rate —
+# measured ~2x on the gather-dominated f64 BELL iterations — while the
+# gathered VALUES, and hence the whole trajectory, stay bit-identical.
+#
+# Domain: the three-way split is exact for x = 0 and |x| >= 2**-75
+# (~2.6e-23) — below that the lo term (~|x| * 2**-48) underflows f32's
+# NORMAL range and flush-to-zero (TPU always; measured on XLA CPU too)
+# rounds the reconstruction by <= 2**-48 relative.  GD factors live
+# ~20 orders of magnitude above this; every byte-exact conformance
+# golden validates through this path (test_bell.py), and
+# SPLIT_GATHER_F64 turns it off for pathological data.
+SPLIT_GATHER_F64 = True
+
+
+def _use_split_gather(dtype, k: int) -> bool:
+    """Split only where the probe-measured f32 row-rate regime applies:
+    the split row (3k f32 lanes) must fit one 128-lane tile.  Above
+    that the split row is BIGGER than the f64 row it replaces and the
+    byte-capped rates make it a wash."""
+    return SPLIT_GATHER_F64 and jnp.dtype(dtype) == jnp.float64 and 3 * k <= 128
+
+
+def _split3_f32(X):
+    """(n, k) f64 -> (n, 3k) f32 [hi | mid | lo] with hi+mid+lo == X
+    elementwise (exact; see SPLIT_GATHER_F64)."""
+    hi = X.astype(jnp.float32)
+    r1 = X - hi.astype(jnp.float64)
+    mid = r1.astype(jnp.float32)
+    lo = (r1 - mid.astype(jnp.float64)).astype(jnp.float32)
+    return jnp.concatenate([hi, mid, lo], axis=1)
+
+
+def _join3_f64(G, k: int):
+    """(m, 3k) f32 gathered rows -> (m, k) f64, bit-exact: mid + lo is
+    exact (non-overlapping <= 29-bit span), then + hi is exact."""
+    hi = G[..., :k].astype(jnp.float64)
+    mid = G[..., k : 2 * k].astype(jnp.float64)
+    lo = G[..., 2 * k :].astype(jnp.float64)
+    return hi + (mid + lo)
+
+
+def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
     """(n, k) gradient for one bucket. idx: (w, n) opposite-side row ids,
-    vals: (w, n) ratings (0 = padding slot -> zero row -> zero err)."""
+    vals: (w, n) ratings (0 = padding slot -> zero row -> zero err).
+    ``F_g`` is the gather table — the factor table itself, or its 3xf32
+    split form when ``split`` (see SPLIT_GATHER_F64)."""
     w, n = idx.shape
-    k = F_other.shape[1]
-    chunk_cells = _chunk_cells(F_other.dtype)
-    if w * n * k <= chunk_cells or n == 1:
-        g = F_other[idx.reshape(-1)].reshape(w, n, k)
+    # Chunk budget in staged-temp bytes: the gathered rows, plus the
+    # reconstructed f64 rows when gathering the split form.
+    row_bytes = F_g.shape[1] * F_g.dtype.itemsize + (k * 8 if split else 0)
+    if w * n * row_bytes <= CHUNK_BYTES or n == 1:
+        g = F_g[idx.reshape(-1)]
+        if split:
+            g = _join3_f64(g, k)
+        g = g.reshape(w, n, k)
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
         # No re-gather here: this helper runs in the CHUNKED regime
@@ -324,17 +382,19 @@ def _delta_bucket(F_other, fo, idx, vals, alpha2):
         return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
     # Split along n: each column range is an independent set of output
     # rows (chunk count is static; shapes stay static per piece).
-    step = max(chunk_cells // (w * k), 1)
+    step = max(CHUNK_BYTES // (w * row_bytes), 1)
     parts = []
     for c0 in range(0, n, step):
         c1 = min(c0 + step, n)
         parts.append(
             _delta_bucket(
-                F_other,
+                F_g,
                 jax.lax.slice_in_dim(fo, c0, c1, axis=0),
                 jax.lax.slice_in_dim(idx, c0, c1, axis=1),
                 jax.lax.slice_in_dim(vals, c0, c1, axis=1),
                 alpha2,
+                k,
+                split,
             )
         )
     return jnp.concatenate(parts, axis=0)
@@ -351,9 +411,18 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
         return None
     k = F_own.shape[1]
     S = cols_flat.shape[0]
+    split = _use_split_gather(F_other.dtype, k)
+    # The split runs once per side per iteration (O(dims*k) VPU work);
+    # every bucket and chunk then gathers from the f32 form.
+    F_g = _split3_f32(F_other) if split else F_other
+    row_bytes = F_g.shape[1] * F_g.dtype.itemsize + (k * 8 if split else 0)
     parts = []
     off = 0
-    g_flat = F_other[cols_flat] if S * k <= _chunk_cells(F_other.dtype) else None
+    g_flat = None
+    if S * row_bytes <= CHUNK_BYTES:
+        g_flat = F_g[cols_flat]
+        if split:
+            g_flat = _join3_f64(g_flat, k)
     g2_flat = (
         _regather(F_other, cols_flat)
         if g_flat is not None and _use_regather(F_other.dtype)
@@ -372,7 +441,7 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
             parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
         else:
             idx = jax.lax.slice_in_dim(cols_flat, off, off + w * n).reshape(w, n)
-            parts.append(_delta_bucket(F_other, fo, idx, vals, alpha2))
+            parts.append(_delta_bucket(F_g, fo, idx, vals, alpha2, k, split))
         off += w * n
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 

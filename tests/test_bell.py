@@ -198,3 +198,42 @@ def test_regather_disabled_for_f64():
 
     assert bell_mod._use_regather(np.float32) == bell_mod.REGATHER_FOR_GRADIENT
     assert bell_mod._use_regather(np.float64) is False
+
+
+def test_split3_roundtrip_bit_exact():
+    """hi+(mid+lo) reconstructs every f64 with 0 or |x| >= 2**-75
+    bit-exactly (the SPLIT_GATHER_F64 contract: below that, f32
+    flush-to-zero rounds the lo term)."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops import bell as bell_mod
+
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([
+        rng.standard_normal(4096),
+        rng.standard_normal(4096) * 1e-6,
+        rng.standard_normal(256) * 1e8,
+        10.0 ** rng.uniform(-22, 2, 4096) * np.sign(rng.standard_normal(4096)),
+        np.array([0.0, -0.0, 1.0, -1.0, 2.0**-74, -(2.0**-75), np.pi]),
+    ]).reshape(-1, 1)
+    got = np.asarray(bell_mod._join3_f64(bell_mod._split3_f32(jnp.asarray(xs)), 1))
+    np.testing.assert_array_equal(got, xs)
+
+
+def test_bell_f64_split_gather_bit_identical():
+    """The f64 split-gather path (default for 3k <= 128) produces
+    factors BIT-identical to the plain f64 gather across a full run."""
+    from recsys_tpu.ops import bell as bell_mod
+
+    spec = generate_instance(60, 300, 24, 2, 30, iters=40, alpha=0.002, seed=5)
+    assert bell_mod._use_split_gather(np.float64, spec.features)
+    cfg = RunConfig(dtype="float64", path="bell")
+    on = trainer.factorize(spec, cfg)
+    saved = bell_mod.SPLIT_GATHER_F64
+    try:
+        bell_mod.SPLIT_GATHER_F64 = False
+        off = trainer.factorize(spec, cfg)
+    finally:
+        bell_mod.SPLIT_GATHER_F64 = saved
+    np.testing.assert_array_equal(np.asarray(on.L), np.asarray(off.L))
+    np.testing.assert_array_equal(np.asarray(on.R), np.asarray(off.R))

@@ -212,3 +212,14 @@ def test_sharded_bell_device_init(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(dev_state.R), np.asarray(host_state.R), rtol=2e-4, atol=2e-6
     )
+
+
+def test_sharded_pallas_bf16x3_end_to_end_golden():
+    """The bf16x3 precision tier flows through the sharded pallas
+    trainer (parallel/engine -> mxu_precision) and still reproduces the
+    golden top-1 on the 8-device mesh."""
+    spec = _spec("inst30-40-10-2-10")
+    out, _ = par.run(
+        spec, RunConfig(dtype="float32", mesh_shape=(2, 4), precision="bf16x3")
+    )
+    assert out == read_golden("inst30-40-10-2-10")
