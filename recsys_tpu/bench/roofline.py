@@ -47,18 +47,19 @@ GATHER_ROWS_PER_S = {"float32": 260e6, "bfloat16": 260e6, "float64": 120e6}
 GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
 
 
-def gather_row_seconds(k: int, dtype: str) -> float:
+def gather_row_seconds(k: int, dtype: str, side_slots: int | None = None) -> float:
     """Seconds per gathered row: the engine's row rate, capped by the
     wide-row byte rate once padded rows exceed ~1 KB (both measured,
     probe_gather_rate.py).  Row bytes use the 128-lane padded width the
-    sparse paths actually gather.  f64 rows with 3k <= 128 gather their
-    exact 3xf32 split form (ops/bell.py SPLIT_GATHER_F64) — one f32 row
-    per slot at the f32 engine rate."""
+    sparse paths actually gather.  f64 rows that the engine splits
+    (ops/bell.py _use_split_gather: 3k <= 64 always, 3k <= 128 when the
+    side's set is chunked) gather their exact 3xf32 split form — one f32
+    row per slot at the f32 engine rate."""
     from recsys_tpu.ops.bell import _use_split_gather
 
     es = 8 if dtype == "float64" else (2 if dtype == "bfloat16" else 4)
     kp = -(-k // 128) * 128
-    if dtype == "float64" and _use_split_gather("float64", k):
+    if dtype == "float64" and _use_split_gather("float64", k, side_slots):
         es, kp = 4, -(-(3 * k) // 128) * 128
         dtype = "float32"
     rate = GATHER_ROWS_PER_S.get(dtype, GATHER_ROWS_PER_S["float32"])
@@ -80,7 +81,7 @@ def train_cost_model(spec, cfg, path: str):
         from recsys_tpu.ops.bell import bell_slot_ratio
 
         slots = 2.0 * spec.nnz * bell_slot_ratio(spec)
-        return "gather", slots * gather_row_seconds(k, cfg.dtype)
+        return "gather", slots * gather_row_seconds(k, cfg.dtype, int(slots // 2))
     if path == "coo":
         # Gather-engine-bound: two k-row gathers per entry per side
         # (L[row], R[col] for the prediction; the segment reduction's

@@ -250,27 +250,45 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
     return ratio
 
 
-# A bucket whose gathered row set exceeds this many BYTES is processed
-# in chunks: XLA materializes a gather consumed by both the prediction
-# and the gradient (measured: f32[2M,700] staged TWICE at gen-inst1e6
-# shape -> 11.6 GB of HLO temps, HBM OOM), so huge buckets split along
-# n (independent output rows) until each piece's gather fuses into its
-# reductions within bounded memory.  Byte-exact-golden instances sit
-# far below the threshold and keep the exact single-shot summation
-# order.  Chunking preserves each output row's mathematical sum (split
-# along n only: every row's reduction lives inside one piece) but XLA
-# may reassociate a reduction differently per piece shape — measured
-# <= 2 ulp f64 factor drift across budgets, argmax output unchanged
-# (test_chunked_rows_independent).
-# The budget is in bytes, not cells: the f32-sized cell constant it
-# replaced let exact-f64 runs stage 2x the intended bytes, and the one
-# f64 shape that overflowed it (gen-inst60000-2000, ~1M gathered rows
-# x k=200) crashed the remote TPU worker twice (STATUS.md round 2).
-CHUNK_BYTES = 1 << 29  # 512 MB of gathered rows per piece
+# A side whose gathered row set exceeds the chunk GRAIN is processed in
+# pieces (per bucket, and within a bucket split along n — independent
+# output rows).  The grain serves two measured purposes:
+#
+# * OOM guard (round 2): XLA materializes a gather consumed by both the
+#   prediction and the gradient (f32[2M,700] staged TWICE at
+#   gen-inst1e6 shape -> 11.6 GB of HLO temps, HBM OOM) — pieces bound
+#   the staged temps.
+# * FUSION win (round 3, scripts/probe_split_sides.py on
+#   gen-inst1000-80000 f64): sub-64 MB pieces let XLA fuse each piece's
+#   gather into its reductions instead of staging one giant flat
+#   gather — measured 8.23 -> 6.84 ms/iter split-off and 6.28 ms/iter
+#   with the 3xf32 split (vs 8.41 unchunked), a 24% end-to-end win.
+#   16 MB pieces measured slightly worse (6.90) — 64 MB is the knee.
+#
+# The grain is therefore 64 MB until a side's set exceeds 16 pieces,
+# then set/16 capped at 512 MB (so the huge-shape programs keep their
+# round-2 piece counts and compile times).  Chunking preserves each
+# output row's mathematical sum (split along n only: every row's
+# reduction lives inside one piece) but XLA may reassociate a reduction
+# differently per piece shape — measured <= 2 ulp f64 factor drift
+# across budgets, argmax output unchanged (test_chunked_rows_independent);
+# every byte-exact golden is re-validated at the shipped grain.
+# RECSYS_BELL_CHUNK_BYTES forces a FIXED grain (probes, fault isolation:
+# the one remaining TPU-worker fault — gen-inst60000-2000 exact f64 —
+# reproduces at both 512 MB and 128 MB grains, see STATUS.md).
+import os as _os
+
+_CHUNK_ENV = _os.environ.get("RECSYS_BELL_CHUNK_BYTES")
+CHUNK_BYTES = int(_CHUNK_ENV) if _CHUNK_ENV else (1 << 29)  # max staged piece
+CHUNK_GRAIN_BYTES = int(_CHUNK_ENV) if _CHUNK_ENV else (64 << 20)
+CHUNK_MAX_PIECES = 16
 
 
-def _chunk_cells(dtype) -> int:
-    return CHUNK_BYTES // jnp.dtype(dtype).itemsize
+def _chunk_grain(set_bytes: int) -> int:
+    """Piece size for a gathered set of ``set_bytes``: the fuse-friendly
+    64 MB grain, growing once a set would exceed CHUNK_MAX_PIECES pieces,
+    capped by the 512 MB staging guard."""
+    return min(CHUNK_BYTES, max(CHUNK_GRAIN_BYTES, set_bytes // CHUNK_MAX_PIECES))
 
 # The gathered row set is consumed twice (prediction, then gradient);
 # a single gather therefore materializes as an HLO temp padded to the
@@ -330,12 +348,32 @@ def _regather(F_other, idx_flat):
 SPLIT_GATHER_F64 = True
 
 
-def _use_split_gather(dtype, k: int) -> bool:
-    """Split only where the probe-measured f32 row-rate regime applies:
-    the split row (3k f32 lanes) must fit one 128-lane tile.  Above
-    that the split row is BIGGER than the f64 row it replaces and the
-    byte-capped rates make it a wash."""
-    return SPLIT_GATHER_F64 and jnp.dtype(dtype) == jnp.float64 and 3 * k <= 128
+def _use_split_gather(dtype, k: int, n_slots: int | None = None) -> bool:
+    """Split where it measurably wins (r3b f64 sweep A/B + the
+    probe_split_sides.py per-side/per-grain study):
+
+    * 3k <= 64 (k <= 21): always.  The gather-engine row-rate win
+      (~4.5 ns/row: ~120 M f64 rows/s -> ~260 M f32) dominates the
+      join's per-gathered-element cost.  Measured: k=10 +83%,
+      k=20 +7..22%.
+    * 64 < 3k <= 128 (k 22..42): only when the side's gathered set is
+      CHUNKED (exceeds the fuse grain) — each piece's gather then fuses
+      into its reductions and the join tax disappears into the fused
+      pipeline (gen-ML1M f64 k=30, chunked: 48.4 -> 34.1 s, +42%;
+      instML100k/inst400-50000 k=30 unchunked: -7/-24% -> gated off).
+    * 3k > 128: never — the split row exceeds one 128-lane tile and the
+      byte-capped rates make it a wash.
+
+    ``n_slots = None`` (unknown set size) applies only the always-win
+    band."""
+    if not (SPLIT_GATHER_F64 and jnp.dtype(dtype) == jnp.float64):
+        return False
+    if 3 * k <= 64:
+        return True
+    if 3 * k > 128 or n_slots is None:
+        return False
+    split_set = n_slots * (12 * k + 8 * k)  # staged f32 rows + f64 join temp
+    return split_set > _chunk_grain(split_set)
 
 
 def _split3_f32(X):
@@ -357,16 +395,17 @@ def _join3_f64(G, k: int):
     return hi + (mid + lo)
 
 
-def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
+def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split, grain):
     """(n, k) gradient for one bucket. idx: (w, n) opposite-side row ids,
     vals: (w, n) ratings (0 = padding slot -> zero row -> zero err).
     ``F_g`` is the gather table — the factor table itself, or its 3xf32
-    split form when ``split`` (see SPLIT_GATHER_F64)."""
+    split form when ``split`` (see SPLIT_GATHER_F64); ``grain`` the
+    piece budget in staged-temp bytes (see _chunk_grain)."""
     w, n = idx.shape
-    # Chunk budget in staged-temp bytes: the gathered rows, plus the
+    # Piece budget in staged-temp bytes: the gathered rows, plus the
     # reconstructed f64 rows when gathering the split form.
     row_bytes = F_g.shape[1] * F_g.dtype.itemsize + (k * 8 if split else 0)
-    if w * n * row_bytes <= CHUNK_BYTES or n == 1:
+    if w * n * row_bytes <= grain or n == 1:
         g = F_g[idx.reshape(-1)]
         if split:
             g = _join3_f64(g, k)
@@ -374,7 +413,7 @@ def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
         pred = jnp.sum(fo[None, :, :] * g, axis=-1)  # (w, n)
         err = alpha2 * (vals - pred)  # pad: 0 - <f,0> = 0
         # No re-gather here: this helper runs in the CHUNKED regime
-        # (instances whose gathers exceed the chunk budget sit at the HBM
+        # (instances whose gathers exceed the piece budget sit at the HBM
         # edge — 12-19 GB programs on a 16 GB chip), where a second
         # staged gather per piece is exactly the OOM the chunking
         # exists to avoid.  The 19% re-gather win was measured in the
@@ -382,7 +421,7 @@ def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
         return jnp.sum(err[:, :, None] * g, axis=0)  # (n, k)
     # Split along n: each column range is an independent set of output
     # rows (chunk count is static; shapes stay static per piece).
-    step = max(CHUNK_BYTES // (w * row_bytes), 1)
+    step = max(grain // (w * row_bytes), 1)
     parts = []
     for c0 in range(0, n, step):
         c1 = min(c0 + step, n)
@@ -395,6 +434,7 @@ def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
                 alpha2,
                 k,
                 split,
+                grain,
             )
         )
     return jnp.concatenate(parts, axis=0)
@@ -402,24 +442,26 @@ def _delta_bucket(F_g, fo, idx, vals, alpha2, k, split):
 
 def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     """One side's gradient: per-bucket fused gather-reduce over views of
-    one flat index array (one gather per side when small — many small
-    gathers pay a fixed ~0.13 ms cost; chunked for huge buckets, see
-    CHUNK_BYTES).  Returns the (n_nz, k) gradient for the nonzero-degree
-    prefix.
+    one flat index array — one gather per side BELOW the fuse grain
+    (many tiny gathers pay a fixed ~0.13 ms cost), per-bucket/per-piece
+    fused gather-reduces above it (see _chunk_grain: pieces both bound
+    staged temps and fuse ~20% faster than one giant staged gather).
+    Returns the (n_nz, k) gradient for the nonzero-degree prefix.
     """
     if not bounds:
         return None
     k = F_own.shape[1]
     S = cols_flat.shape[0]
-    split = _use_split_gather(F_other.dtype, k)
+    split = _use_split_gather(F_other.dtype, k, S)
     # The split runs once per side per iteration (O(dims*k) VPU work);
     # every bucket and chunk then gathers from the f32 form.
     F_g = _split3_f32(F_other) if split else F_other
     row_bytes = F_g.shape[1] * F_g.dtype.itemsize + (k * 8 if split else 0)
+    grain = _chunk_grain(S * row_bytes)
     parts = []
     off = 0
     g_flat = None
-    if S * row_bytes <= CHUNK_BYTES:
+    if S * row_bytes <= grain:
         g_flat = F_g[cols_flat]
         if split:
             g_flat = _join3_f64(g_flat, k)
@@ -441,7 +483,7 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
             parts.append(jnp.sum(err[:, :, None] * g, axis=0))  # (n, k)
         else:
             idx = jax.lax.slice_in_dim(cols_flat, off, off + w * n).reshape(w, n)
-            parts.append(_delta_bucket(F_g, fo, idx, vals, alpha2, k, split))
+            parts.append(_delta_bucket(F_g, fo, idx, vals, alpha2, k, split, grain))
         off += w * n
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 

@@ -185,10 +185,34 @@ def test_chunked_rows_independent(sparse_spec):
     assert out_a == out_b
 
 
-def test_chunk_budget_dtype_aware():
+def test_split_gather_gate_bands():
+    """Gate bands (measured, probe_split_sides.py): k <= 21 always
+    splits; 22 <= k <= 42 splits only when the side's set is chunked
+    (where piece-wise fusion absorbs the join tax); k > 42 never."""
     from recsys_tpu.ops import bell as bell_mod
 
-    assert bell_mod._chunk_cells(np.float64) * 2 == bell_mod._chunk_cells(np.float32)
+    assert bell_mod._use_split_gather(np.float64, 20, None)
+    assert bell_mod._use_split_gather(np.float64, 21, 10)
+    assert not bell_mod._use_split_gather(np.float64, 30, None)
+    assert not bell_mod._use_split_gather(np.float64, 30, 10_000)  # ~0.6 MB set
+    assert bell_mod._use_split_gather(np.float64, 30, 2_000_000)  # ~1.2 GB set
+    assert not bell_mod._use_split_gather(np.float64, 50, 2_000_000)
+    assert not bell_mod._use_split_gather(np.float32, 20, 2_000_000)
+
+
+def test_chunk_grain_bounds():
+    """The fuse grain is 64 MB for small sets, grows past
+    CHUNK_MAX_PIECES pieces, and never exceeds the 512 MB staging guard
+    (it is a BYTE budget, so f64 rows get half the cells of f32 — the
+    dtype-unaware cell constant crashed the TPU worker in round 2)."""
+    from recsys_tpu.ops import bell as bell_mod
+
+    g = bell_mod._chunk_grain
+    assert g(1 << 20) == bell_mod.CHUNK_GRAIN_BYTES
+    big = 64 << 30
+    assert g(big) == bell_mod.CHUNK_BYTES
+    mid = 32 * bell_mod.CHUNK_GRAIN_BYTES
+    assert g(mid) == mid // bell_mod.CHUNK_MAX_PIECES
 
 
 def test_regather_disabled_for_f64():
@@ -221,11 +245,12 @@ def test_split3_roundtrip_bit_exact():
 
 
 def test_bell_f64_split_gather_bit_identical():
-    """The f64 split-gather path (default for 3k <= 128) produces
-    factors BIT-identical to the plain f64 gather across a full run."""
+    """The f64 split-gather path (default for 3k <= 64; chunked sides up
+    to 3k <= 128) produces factors BIT-identical to the plain f64
+    gather across a full run."""
     from recsys_tpu.ops import bell as bell_mod
 
-    spec = generate_instance(60, 300, 24, 2, 30, iters=40, alpha=0.002, seed=5)
+    spec = generate_instance(60, 300, 20, 2, 30, iters=40, alpha=0.002, seed=5)
     assert bell_mod._use_split_gather(np.float64, spec.features)
     cfg = RunConfig(dtype="float64", path="bell")
     on = trainer.factorize(spec, cfg)
