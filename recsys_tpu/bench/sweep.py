@@ -128,6 +128,23 @@ def run_instance(name: str, dtype: str, repeats: int):
         agree = sum(x == y for x, y in zip(olines, glines)) / max(len(glines), 1)
         exact = out == golden
     wall = min(walls)
+    # One more instrumented pass (warm, outside the timed repeats): the
+    # per-stage walls separate the steady-state train time from one-shot
+    # upload/top-1/prep costs — a 10-iteration extreme-shape wall is
+    # upload-dominated and its end-to-end %roofline means nothing.
+    from recsys_tpu.utils.timing import collect_phases
+
+    # Two passes, per-phase min: the first pass pays one-shot compiles
+    # of the tiny one-element sync programs (~1 s each through the
+    # remote attachment) which would otherwise be charged to whatever
+    # phase ran them.
+    ph: dict = {}
+    for _ in range(2):
+        p: dict = {}
+        with collect_phases(p):
+            trainer.run(spec, cfg)
+        ph = {k: min(v, ph.get(k, v)) for k, v in p.items()}
+    train_s = ph.get("train")
     # XLA's per-program memory analysis, not runtime memory_stats: the
     # runtime figure is a process-lifetime high-water mark that would
     # attribute an earlier larger instance's peak to every later row.
@@ -136,7 +153,7 @@ def run_instance(name: str, dtype: str, repeats: int):
     chosen = trainer.choose_path(spec, cfg)
     from recsys_tpu.bench.roofline import pct_of_roofline
 
-    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, wall)
+    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, train_s or wall)
     row = {
         "hbm_peak_mb": hbm_peak_mb,
         "resident_vmem_est_mb": vmem_mb,
@@ -144,6 +161,12 @@ def run_instance(name: str, dtype: str, repeats: int):
         "dtype": dtype,
         "path": chosen,
         "wall_s": round(wall, 4),
+        "train_s": None if train_s is None else round(train_s, 4),
+        "per_iter_ms": (
+            None if train_s is None else round(1e3 * train_s / max(spec.iters, 1), 4)
+        ),
+        "upload_s": None if "upload" not in ph else round(ph["upload"], 4),
+        "top1_s": None if "top1" not in ph else round(ph["top1"], 4),
         "updates_per_s": round(spec.iters * spec.nnz / wall),
         "iters": spec.iters,
         "nnz": spec.nnz,
@@ -180,8 +203,8 @@ def format_markdown(rows: list[dict]) -> str:
         "the MXU regime route to the host CPU device, where the same HLO runs",
         "native f64 ~45x faster than TPU software emulation (engine/trainer.py).",
         "",
-        "| instance | dtype | path | wall (s) | updates/s | vs serial | vs best published | golden | %roofline | HBM peak (MB) |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| instance | dtype | path | wall (s) | train (s) | per-iter (ms) | updates/s | vs serial | vs best published | golden | %roofline | HBM peak (MB) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         # gen-* instances are scale-equivalent regenerations of blobs
@@ -206,24 +229,35 @@ def format_markdown(rows: list[dict]) -> str:
             memcol += f" (+{vmem:g} VMEM)"
         pct = r.get("pct_roofline")
         rlcol = "-" if pct is None else f"{pct:g}% {r.get('roofline_model', '')}"
+        train = r.get("train_s")
+        traincol = "-" if train is None else f"{train:g}"
+        pit = r.get("per_iter_ms")
+        pitcol = "-" if pit is None else f"{pit:g}"
         lines.append(
             f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
+            f"{traincol} | {pitcol} | "
             f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} | {rlcol} | {memcol} |"
         )
     lines += [
         "",
         "Notes:",
-        "- '%roofline' compares the measured end-to-end wall against the",
-        "  formulation's hardware minimum (bench/roofline.py): 'gather' rows",
-        "  model the sparse paths' gathered rows over the MEASURED XLA",
-        "  row-gather engine ceiling (260 M f32 / 120 M f64 rows/s, best",
-        "  sustained observation; engine-state variance is ~+/-25% — the",
-        "  engine, not HBM bytes, is the sparse ceiling, bench/roofline.py);",
-        "  'mxu' rows model 6*users*items*k FLOPs per iteration over",
-        "  the MXU peak (197 TFLOP/s bf16; f32 at highest precision = 6",
-        "  passes). 100% = speed of light for that formulation; walls include",
-        "  upload/top-1, so values are conservative. Host-routed and",
-        "  software-f64 dense rows have no model.",
+        "- 'train (s)' / 'per-iter (ms)' are the steady-state training phase",
+        "  measured by an instrumented pass (utils/timing.py collect_phases):",
+        "  upload, compile and top-1 are one-shot costs that dominate short",
+        "  walls (the 10-iteration extreme shapes especially). Rows measured",
+        "  before round 4 carry '-' there.",
+        "- '%roofline' compares the measured TRAIN wall (end-to-end wall for",
+        "  pre-round-4 rows — conservative) against the formulation's hardware",
+        "  minimum, recomputed at render time with the current model",
+        "  (bench/roofline.py): 'gather' rows price each BELL side separately",
+        "  (slot count, f64 split form, and source-table size are per-side)",
+        "  over the measured XLA row-gather engine ceilings; 'mxu' rows price",
+        "  2*users*items*(128 + 2k) MAC-equivalents per iteration — the",
+        "  prediction matmul pays the systolic array's full 128-lane",
+        "  contraction whatever k is, the two K-major gradient matmuls cost",
+        "  their true k — over the MXU peak (197 TFLOP/s bf16; f32 at highest",
+        "  precision = 6 passes, bf16x3 = 3). 100% = speed of light for that",
+        "  formulation. Host-routed and software-f64 dense rows have no model.",
         f"- bfloat16 policy: rows must reach {100 * BF16_MIN_AGREEMENT:.0f}% argmax agreement with the",
         "  exact-f64 golden; rows marked BELOW-FLOOR (or without a golden) fail",
         "  the floor and are excluded from headline claims — use float32 there.",
@@ -285,7 +319,9 @@ def main(argv=None):
         latest = {}
         for r in rows:
             latest[(r["instance"], r["dtype"])] = r
-        md = format_markdown(list(latest.values()))
+        rows = list(latest.values())
+        _recompute_roofline(rows)
+        md = format_markdown(rows)
         # The scaling section (comm-volume model + CPU-mesh tables) lives
         # in docs/SCALING.md (regenerated by bench.scaling); splice it in
         # so BENCHMARKS.md carries the reference's scaling-table analogue.
@@ -352,6 +388,46 @@ def main(argv=None):
         with open(args.out, "w") as f:
             f.write(format_markdown(rows))
     return 0
+
+
+def _recompute_roofline(rows: list[dict]) -> None:
+    """Refresh each row's %roofline with the CURRENT cost model at
+    render time (the stored pct was computed with whatever model shipped
+    when the row was measured — model fixes must reprice old rows or a
+    corrected model would render stale percentages forever).  Uses the
+    row's steady-state train wall when the row has one, its end-to-end
+    wall otherwise (conservative).  Rows whose fixture cannot be loaded
+    keep their stored value."""
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.io.parser import load_problem
+    from recsys_tpu.bench.roofline import pct_of_roofline
+
+    specs: dict = {}
+    for r in rows:
+        name = r["instance"]
+        if name not in specs:
+            path = os.path.join(_fixture_dir(), f"{name}.in")
+            if not os.path.exists(path):
+                from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+
+                if name in GEN_SPECS:
+                    materialize_gen_fixture(name, _fixture_dir())
+            try:
+                specs[name] = load_problem(path)
+            except OSError:
+                specs[name] = None
+        spec = specs[name]
+        if spec is None:
+            continue
+        cfg = (
+            RunConfig(dtype="float32", precision="bf16x3")
+            if r["dtype"] == "f32x3"
+            else RunConfig(dtype=r["dtype"])
+        )
+        model, pct = pct_of_roofline(
+            spec, cfg, r["path"], r.get("train_s") or r["wall_s"]
+        )
+        r["roofline_model"], r["pct_roofline"] = model, pct
 
 
 def _program_hbm_mb(spec, cfg):

@@ -56,6 +56,7 @@ from recsys_tpu.ops.topk import (
     top1_blocked,
     top1_rated_blocked,
 )
+from recsys_tpu.utils.timing import phase
 
 # Dense A + M byte budget before switching to the COO formulation.
 DENSE_BUDGET_BYTES = 2 << 30
@@ -288,27 +289,45 @@ def factorize(spec: ProblemSpec, cfg: RunConfig = RunConfig(), state: MFState | 
         # pallas/bell paths re-lay them out — and the bell path can
         # generate them ON DEVICE — so they must not pay a host init
         # plus a full-table upload first; multi-GB at extreme shapes).
-        if state is None:
-            state = init_factors(spec.users, spec.items, spec.features)
-        L0 = jnp.asarray(state.L, dtype=dt)
-        R0 = jnp.asarray(state.R, dtype=dt)
+        with phase("prep"):
+            if state is None:
+                state = init_factors(spec.users, spec.items, spec.features)
+        with phase("upload") as psync:
+            L0 = jnp.asarray(state.L, dtype=dt)
+            R0 = jnp.asarray(state.R, dtype=dt)
+            psync((L0, R0))
     if path == "pallas":
         if not pallas_dense.mask_is_implicit(spec):
             raise ValueError("pallas path requires all ratings non-zero (implicit mask)")
         return _factorize_pallas(spec, state, precision=mxu_precision(cfg))
     if path == "dense":
-        A, M = make_dense_inputs(spec, dtype=dt)
-        L, R = _train_dense(L0, R0, jnp.asarray(A), jnp.asarray(M), alpha2, spec.iters)
+        with phase("prep"):
+            A, M = make_dense_inputs(spec, dtype=dt)
+        with phase("upload") as psync:
+            A, M = jnp.asarray(A), jnp.asarray(M)
+            psync((A, M))
+        with phase("train") as psync:
+            L, R = _train_dense(L0, R0, A, M, alpha2, spec.iters)
+            psync(L)
     elif path == "bell":
         st = _factorize_bell_device(spec, cfg, state)
         return MFState(L=np.asarray(st.L), R=np.asarray(st.R))
     elif path == "coo":
-        if _coo_use_cumsum(spec, cfg):
-            data = jax.tree.map(jnp.asarray, make_coo_seg_inputs(spec, dtype=dt))
-            L, R = _train_coo_cumsum(L0, R0, data, alpha2, spec.iters)
-        else:
-            data = jax.tree.map(jnp.asarray, make_coo_inputs(spec, dtype=dt))
-            L, R = _train_coo(L0, R0, data, alpha2, spec.iters, spec.users, spec.items)
+        with phase("prep"):
+            data = (
+                make_coo_seg_inputs(spec, dtype=dt)
+                if _coo_use_cumsum(spec, cfg)
+                else make_coo_inputs(spec, dtype=dt)
+            )
+        with phase("upload") as psync:
+            data = jax.tree.map(jnp.asarray, data)
+            psync(data)
+        with phase("train") as psync:
+            if _coo_use_cumsum(spec, cfg):
+                L, R = _train_coo_cumsum(L0, R0, data, alpha2, spec.iters)
+            else:
+                L, R = _train_coo(L0, R0, data, alpha2, spec.iters, spec.users, spec.items)
+            psync(L)
     else:
         raise ValueError(f"unknown path {path!r}")
     return MFState(L=L, R=R)
@@ -352,31 +371,36 @@ def _factorize_bell_device(spec: ProblemSpec, cfg: RunConfig, state: MFState | N
     straight into the top-1 so multi-GB factor tables (inst1000-1e6's
     4 GB R) never cross the ~35 MB/s attachment link."""
     dt = _as_dtype(cfg.dtype)
-    data = make_bell_inputs(spec, dtype=dt)
+    with phase("prep"):
+        data = make_bell_inputs(spec, dtype=dt)
     draws = (spec.users + spec.items) * spec.features
-    if (
-        state is None
-        and draws >= DEVICE_INIT_MIN_DRAWS
-        and dt in (jnp.float32, jnp.bfloat16)
-    ):
-        from recsys_tpu.ops.device_rng import device_init_factors
+    with phase("upload") as psync:
+        if (
+            state is None
+            and draws >= DEVICE_INIT_MIN_DRAWS
+            and dt in (jnp.float32, jnp.bfloat16)
+        ):
+            from recsys_tpu.ops.device_rng import device_init_factors
 
-        L0, R0 = device_init_factors(spec.users, spec.items, spec.features)
-        # Degree-permute + append the zero pad row in ONE gather each:
-        # index ``size`` is out of range, mode='fill' writes the zero row.
-        upad = np.append(data.user_perm, spec.users).astype(np.int32)
-        ipad = np.append(data.item_perm, spec.items).astype(np.int32)
-        Lp0 = jnp.take(L0.astype(dt), jnp.asarray(upad), axis=0, mode="fill", fill_value=0)
-        Rp0 = jnp.take(R0.astype(dt), jnp.asarray(ipad), axis=0, mode="fill", fill_value=0)
-        del L0, R0
-    else:
-        if state is None:
-            state = init_factors(spec.users, spec.items, spec.features)
-        Lp0, Rp0 = pad_factors_for_bell(state, data, dt)
-        Lp0, Rp0 = jnp.asarray(Lp0), jnp.asarray(Rp0)
-    tables = jax.tree.map(jnp.asarray, data.tables)
+            L0, R0 = device_init_factors(spec.users, spec.items, spec.features)
+            # Degree-permute + append the zero pad row in ONE gather each:
+            # index ``size`` is out of range, mode='fill' writes the zero row.
+            upad = np.append(data.user_perm, spec.users).astype(np.int32)
+            ipad = np.append(data.item_perm, spec.items).astype(np.int32)
+            Lp0 = jnp.take(L0.astype(dt), jnp.asarray(upad), axis=0, mode="fill", fill_value=0)
+            Rp0 = jnp.take(R0.astype(dt), jnp.asarray(ipad), axis=0, mode="fill", fill_value=0)
+            del L0, R0
+        else:
+            if state is None:
+                state = init_factors(spec.users, spec.items, spec.features)
+            Lp0, Rp0 = pad_factors_for_bell(state, data, dt)
+            Lp0, Rp0 = jnp.asarray(Lp0), jnp.asarray(Rp0)
+        tables = jax.tree.map(jnp.asarray, data.tables)
+        psync((Lp0, Rp0, tables))
     alpha2 = jnp.asarray(2.0 * spec.alpha, dtype=dt)
-    Lp, Rp = _train_bell(Lp0, Rp0, tables, alpha2, spec.iters, data.meta)
+    with phase("train") as psync:
+        Lp, Rp = _train_bell(Lp0, Rp0, tables, alpha2, spec.iters, data.meta)
+        psync(Lp)
     L = jnp.take(Lp, jnp.asarray(data.inv_user_perm), axis=0)
     R = jnp.take(Rp, jnp.asarray(data.inv_item_perm), axis=0)
     return MFState(L=L, R=R)
@@ -448,34 +472,46 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
     kind, a_dtype, strip = _pallas_plan(spec)
     alpha2 = 2.0 * spec.alpha
     if kind in ("resident", "stream"):
-        Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
-        A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+        with phase("prep"):
+            Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
+        with phase("upload") as psync:
+            A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+            Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
+            psync((A, Lt, Rt))
         train = (
             pallas_dense.resident_train
             if kind == "resident"
             else pallas_dense.stream_train
         )
-        Ltp, Rtp = train(
-            jnp.asarray(Lt), jnp.asarray(Rt), A,
-            iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
-        )
+        with phase("train") as psync:
+            Ltp, Rtp = train(
+                Lt, Rt, A,
+                iters=spec.iters, alpha2=alpha2, strip=strip, precision=precision,
+            )
+            psync(Ltp)
         return MFState(
             L=np.asarray(Ltp)[: spec.features, : spec.users].T,
             R=np.asarray(Rtp)[: spec.features, : spec.items].T,
         )
-    bu, bi = _tiled_dims(spec)
-    L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu, state=state)
-    A = pallas_dense.device_dense_A(spec, U, I)
+    with phase("prep"):
+        bu, bi = _tiled_dims(spec)
+        L, R, (U, I, _) = pallas_dense.pad_factors_lane_major(spec, strip=bi, u_mult=bu, state=state)
+    with phase("upload") as psync:
+        A = pallas_dense.device_dense_A(spec, U, I)
+        L, R = jnp.asarray(L), jnp.asarray(R)
+        psync((A, L, R))
     # The tiled kernel is A-traffic/scheduling bound, not MXU-pass
     # bound: single-pass bf16 matmuls measured SLOWER than 6-pass
     # f32 (6.58 s vs 4.12 s on gen-ML1M, BENCHMARKS r1) while
     # costing accuracy — so bf16 falls back to full precision here
     # (an explicit bf16x3 request is honored: same storage, 3 passes).
-    Lp, Rp = pallas_dense.tiled_train(
-        jnp.asarray(L), jnp.asarray(R), A, jnp.float32(alpha2),
-        iters=spec.iters, bu=bu, bi=bi,
-        precision="highest" if precision == "default" else precision,
-    )
+    with phase("train") as psync:
+        Lp, Rp = pallas_dense.tiled_train(
+            L, R, A, jnp.float32(alpha2),
+            iters=spec.iters, bu=bu, bi=bi,
+            precision="highest" if precision == "default" else precision,
+        )
+        psync(Lp)
     return MFState(L=Lp[: spec.users, : spec.features], R=Rp[: spec.items, : spec.features])
 
 
@@ -601,19 +637,28 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
     with jax.enable_x64(False):
         kind, a_dtype, strip = _pallas_plan(spec, fused_top1=True)
-        Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
-        A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+        with phase("prep"):
+            Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
+        with phase("upload") as psync:
+            A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+            Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
+            psync((A, Lt, Rt))
         train_top1 = (
             pallas_dense.resident_train_top1
             if kind == "resident"
             else pallas_dense.stream_train_top1
         )
-        _, _, top1 = train_top1(
-            jnp.asarray(Lt), jnp.asarray(Rt), A,
-            iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
-            precision=precision, items_true=spec.items,
-        )
-        return np.asarray(top1)[: spec.users, 0]
+        # The fused kernel's top-1 is one extra strip pass out of
+        # ``iters`` — counted as train (it is inseparable by design).
+        with phase("train") as psync:
+            _, _, top1 = train_top1(
+                Lt, Rt, A,
+                iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
+                precision=precision, items_true=spec.items,
+            )
+            psync(top1)
+        with phase("top1"):
+            return np.asarray(top1)[: spec.users, 0]
 
 
 def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarray"]:
@@ -627,8 +672,10 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
         # top-1 keeps the strictly-greater lowest-index tie-break.
         from recsys_tpu.engine.oracle import top1_numpy
 
-        state = _factorize_host_serial(spec)
-        top1 = top1_numpy(np.asarray(state.L), np.asarray(state.R), spec)
+        with phase("train"):
+            state = _factorize_host_serial(spec)
+        with phase("top1"):
+            top1 = top1_numpy(np.asarray(state.L), np.asarray(state.R), spec)
         return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     host = _sub_mxu_host_device(spec, cfg)
     if host is not None:
@@ -637,7 +684,8 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
         # jits execute there too.
         with jax.default_device(host):
             state = factorize(spec, cfg, _host_routed=True)
-            top1 = recommend(state, spec, cfg)
+            with phase("top1"):
+                top1 = recommend(state, spec, cfg)
             return format_recommendations(top1, spec.rated_counts(), spec.items), top1
     path = choose_path(spec, cfg)
     if (
@@ -653,5 +701,6 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarr
     # BELL runs end-to-end device-resident: train -> un-permute ->
     # top-1 all on device; only the int32 indices are downloaded.
     state = _factorize_bell_device(spec, cfg) if path == "bell" else factorize(spec, cfg)
-    top1 = recommend(state, spec, cfg)
+    with phase("top1"):
+        top1 = recommend(state, spec, cfg)
     return format_recommendations(top1, spec.rated_counts(), spec.items), top1

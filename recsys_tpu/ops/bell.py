@@ -220,34 +220,43 @@ def make_bell_inputs(spec: ProblemSpec, dtype=np.float32) -> BellData:
     )
 
 
-# id(spec) -> ratio, evicted by a weakref finalizer when the spec dies
-# (ProblemSpec holds ndarrays, so it is weakref-able but not hashable).
-_slot_ratio_cache: dict[int, float] = {}
+# id(spec) -> (slots_u, slots_i), evicted by a weakref finalizer when
+# the spec dies (ProblemSpec holds ndarrays, so it is weakref-able but
+# not hashable).
+_side_slots_cache: dict[int, tuple[int, int]] = {}
+
+
+def bell_side_slots(spec: ProblemSpec) -> tuple[int, int]:
+    """(user-side, item-side) padded slot counts of the BELL format —
+    the per-iteration gathered-row counts of each side's fused
+    gather-reduce (the u-side gathers rows of the R table, the i-side
+    rows of the L table).  Cached per live spec: choose_path and the
+    roofline model run several times per instance and this costs two
+    full sorts of million-entry degree arrays."""
+    import weakref
+
+    key = id(spec)
+    hit = _side_slots_cache.get(key)
+    if hit is not None:
+        return hit
+    sides = []
+    for coords, dim in ((spec.rows, spec.users), (spec.cols, spec.items)):
+        counts = np.bincount(coords, minlength=dim)
+        sc = np.sort(counts)[::-1]
+        sides.append(sum(w * (b1 - b0) for (b0, b1, w) in _degree_buckets(sc)))
+    out = (int(sides[0]), int(sides[1]))
+    _side_slots_cache[key] = out
+    weakref.finalize(spec, _side_slots_cache.pop, key, None)
+    return out
 
 
 def bell_slot_ratio(spec: ProblemSpec) -> float:
     """Padded-slot overhead of the BELL format (1.0 = no padding): the
-    degree-bucketed analogue of ``ell_ratios``, used by path selection.
-    Cached per live spec: choose_path runs several times per instance
-    (run/factorize/bench memory columns) and this costs two full sorts
-    of million-entry degree arrays."""
-    import weakref
-
-    key = id(spec)
-    hit = _slot_ratio_cache.get(key)
-    if hit is not None:
-        return hit
+    degree-bucketed analogue of ``ell_ratios``, used by path selection."""
     if spec.nnz == 0:
         return float("inf")
-    total = 0
-    for coords, dim in ((spec.rows, spec.users), (spec.cols, spec.items)):
-        counts = np.bincount(coords, minlength=dim)
-        sc = np.sort(counts)[::-1]
-        total += sum(w * (b1 - b0) for (b0, b1, w) in _degree_buckets(sc))
-    ratio = total / (2.0 * spec.nnz)
-    _slot_ratio_cache[key] = ratio
-    weakref.finalize(spec, _slot_ratio_cache.pop, key, None)
-    return ratio
+    su, si = bell_side_slots(spec)
+    return (su + si) / (2.0 * spec.nnz)
 
 
 # A side whose gathered row set exceeds the chunk GRAIN is processed in
@@ -278,9 +287,31 @@ def bell_slot_ratio(spec: ProblemSpec) -> float:
 # reproduces at both 512 MB and 128 MB grains, see STATUS.md).
 import os as _os
 
-_CHUNK_ENV = _os.environ.get("RECSYS_BELL_CHUNK_BYTES")
-CHUNK_BYTES = int(_CHUNK_ENV) if _CHUNK_ENV else (1 << 29)  # max staged piece
-CHUNK_GRAIN_BYTES = int(_CHUNK_ENV) if _CHUNK_ENV else (64 << 20)
+
+def _parse_chunk_env(raw: str | None) -> int | None:
+    """Validated RECSYS_BELL_CHUNK_BYTES: a positive integer >= 1 MiB
+    (below that _delta_bucket degrades toward one piece per output row —
+    a huge unrolled HLO), or None when unset.  A malformed value raises
+    a clear error instead of crashing every import downstream."""
+    if not raw:
+        return None
+    try:
+        v = int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"RECSYS_BELL_CHUNK_BYTES={raw!r} is not an integer (bytes)"
+        ) from e
+    if v < (1 << 20):
+        raise ValueError(
+            f"RECSYS_BELL_CHUNK_BYTES={v} is below the 1 MiB floor "
+            "(tiny grains unroll one piece per output row)"
+        )
+    return v
+
+
+_CHUNK_ENV = _parse_chunk_env(_os.environ.get("RECSYS_BELL_CHUNK_BYTES"))
+CHUNK_BYTES = _CHUNK_ENV if _CHUNK_ENV else (1 << 29)  # max staged piece
+CHUNK_GRAIN_BYTES = _CHUNK_ENV if _CHUNK_ENV else (64 << 20)
 CHUNK_MAX_PIECES = 16
 
 
@@ -361,6 +392,11 @@ def _use_split_gather(dtype, k: int, n_slots: int | None = None) -> bool:
       into its reductions and the join tax disappears into the fused
       pipeline (gen-ML1M f64 k=30, chunked: 48.4 -> 34.1 s, +42%;
       instML100k/inst400-50000 k=30 unchunked: -7/-24% -> gated off).
+      The chunking test uses the UNSPLIT f64 set size: a side only
+      qualifies if it would be chunked anyway (the measured configs) —
+      sizing with the 2.5x-larger split-form set would itself push
+      borderline sides into the chunked regime, a band no measurement
+      covers.
     * 3k > 128: never — the split row exceeds one 128-lane tile and the
       byte-capped rates make it a wash.
 
@@ -372,8 +408,8 @@ def _use_split_gather(dtype, k: int, n_slots: int | None = None) -> bool:
         return True
     if 3 * k > 128 or n_slots is None:
         return False
-    split_set = n_slots * (12 * k + 8 * k)  # staged f32 rows + f64 join temp
-    return split_set > _chunk_grain(split_set)
+    f64_set = n_slots * 8 * k  # the flat single-gather set, unsplit
+    return f64_set > _chunk_grain(f64_set)
 
 
 def _split3_f32(X):

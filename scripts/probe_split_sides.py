@@ -82,10 +82,12 @@ def run_cfg(cfg: str) -> float:
         side = "u" if calls["n"] % 2 == 0 else "i"
         calls["n"] += 1
         allow = cfg == "both" or cfg == side
+        # Signature must track the real gate's (dtype, k, n_slots=None):
+        # _delta_side passes the side's slot count as a third positional.
         bell._use_split_gather = (
-            (lambda dt, k: jnp.dtype(dt) == jnp.float64 and 3 * k <= 128)
+            (lambda dt, k, n_slots=None: jnp.dtype(dt) == jnp.float64 and 3 * k <= 128)
             if allow
-            else (lambda dt, k: False)
+            else (lambda dt, k, n_slots=None: False)
         )
         try:
             return _orig_delta(F_own, F_other, cols_flat, vals_t, bounds, a2)
