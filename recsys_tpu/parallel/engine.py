@@ -274,9 +274,20 @@ def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, np.ndarra
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: jit + execute one full sharded training step (both
-    formulations) and the sharded top-1 on tiny shapes over an
-    n_devices-device 2-D mesh."""
+    """Driver hook: validate the multi-chip path NUMERICALLY, not just
+    for crashes — a systematic sharded-numerics bug that keeps shapes
+    intact must fail here (the reference's analogous guarantee is its
+    cluster runs matching golden output, ``matFact-mpi.c:155-214``).
+
+    1. Tiny smoke: one step of all three sharded formulations + top-1.
+    2. 200x300, 5 iters: every sharded formulation's factors compared
+       against the SINGLE-CHIP engine (as ``test_extreme_shapes`` does),
+       and the distributed top-1 compared against the numpy oracle
+       applied to those same factors (rated-table masking branch).
+    3. A hub-user instance whose max rated count exceeds the compact
+       rated-table cap, driving the dense-mask top-1 branch, again
+       checked against the numpy oracle.
+    """
     from recsys_tpu.io.generator import generate_instance
 
     devs = jax.devices()[:n_devices]
@@ -293,14 +304,62 @@ def dryrun(n_devices: int) -> None:
         state, _ = factorize_sharded(spec, cfg, mesh=mesh)
         top1 = recommend_sharded(state, spec, mesh)
         assert top1.shape == (spec.users,)
-    # Cross-check the two sharded paths agree after one step (the dense
-    # path routes through the Pallas-sharded trainer, which pads k to
-    # the 128-lane tile — compare at true dims).
-    s_d, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="dense"), mesh=mesh)
-    s_c, _ = factorize_sharded(spec, RunConfig(dtype="float32", path="coo"), mesh=mesh)
-    np.testing.assert_allclose(
-        np.asarray(s_d.L)[: spec.users, : spec.features],
-        np.asarray(s_c.L)[: spec.users, : spec.features],
-        rtol=2e-5,
-        atol=2e-6,
+
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.engine.oracle import top1_numpy
+
+    spec2 = generate_instance(200, 300, 8, 1, 6, iters=5, alpha=0.02, seed=11)
+    ref = trainer.factorize(spec2, RunConfig(dtype="float32", path="coo"))
+    refL = np.asarray(ref.L)[: spec2.users, : spec2.features]
+    refR = np.asarray(ref.R)[: spec2.items, : spec2.features]
+    for path in ("dense", "coo", "bell"):
+        state, _ = factorize_sharded(spec2, RunConfig(dtype="float32", path=path), mesh=mesh)
+        L = np.asarray(state.L)[: spec2.users, : spec2.features]
+        R = np.asarray(state.R)[: spec2.items, : spec2.features]
+        # f32 reassociation differs per formulation; systematic sharding
+        # bugs (lost psum, off-by-one block, double-counted base) are
+        # orders of magnitude above this tolerance.
+        np.testing.assert_allclose(
+            L, refL, rtol=3e-4, atol=1e-5,
+            err_msg=f"sharded {path}: L drifted from the single-chip engine",
+        )
+        np.testing.assert_allclose(
+            R, refR, rtol=3e-4, atol=1e-5,
+            err_msg=f"sharded {path}: R drifted from the single-chip engine",
+        )
+        top1 = recommend_sharded(state, spec2, mesh)
+        exp = top1_numpy(L.astype(np.float64), R.astype(np.float64), spec2)
+        if (top1 != exp).any():
+            bad = int((top1 != exp).sum())
+            raise AssertionError(
+                f"sharded top-1 ({path}, rated-table branch): {bad}/{spec2.users} "
+                "users disagree with the numpy oracle on the same factors"
+            )
+
+    # Hub instance: user 0 rates 2/3 of the item space, pushing
+    # max_rated past the rated-table cap (max(items//8, 128)) so the
+    # dense-mask branch of sharded_top1_device runs.
+    hub_items = np.arange(0, 200, dtype=np.int64)
+    rng = np.random.default_rng(13)
+    tail_rows, tail_cols = [], []
+    for u in range(1, 40):
+        cs = np.unique(rng.integers(0, 300, size=4))
+        tail_rows += [u] * len(cs)
+        tail_cols += list(cs)
+    rows = np.concatenate([np.zeros(200, np.int64), np.array(tail_rows)])
+    cols = np.concatenate([hub_items, np.array(tail_cols)])
+    vals = rng.integers(1, 6, size=len(rows)).astype(np.float64)
+    spec3 = ProblemSpec(
+        iters=3, alpha=0.02, features=4, users=40, items=300,
+        rows=rows.astype(np.int32), cols=cols.astype(np.int32), vals=vals,
     )
+    assert int(np.bincount(spec3.rows).max()) > max(spec3.items // 8, 128)
+    state, _ = factorize_sharded(spec3, RunConfig(dtype="float32", path="coo"), mesh=mesh)
+    L = np.asarray(state.L)[: spec3.users, : spec3.features]
+    R = np.asarray(state.R)[: spec3.items, : spec3.features]
+    top1 = recommend_sharded(state, spec3, mesh)
+    exp = top1_numpy(L.astype(np.float64), R.astype(np.float64), spec3)
+    if (top1 != exp).any():
+        raise AssertionError(
+            "sharded top-1 (dense-mask branch) disagrees with the numpy oracle"
+        )
