@@ -67,9 +67,15 @@ def comm_volume_bytes(users: int, items: int, k: int, pu: int, pi: int, itemsize
 
 
 def projected_efficiency(spec, cfg, path: str, pu: int, pi: int):
-    """(compute_s, comm_s, efficiency) per iteration per device for an
-    N-chip mesh, from the roofline compute model and the ICI comm model
-    (no-overlap lower bound).  None when no compute model applies."""
+    """(compute_s, comm_s, eff_no_overlap, eff_full_overlap) per
+    iteration per device for an N-chip mesh, from the roofline compute
+    model and the ICI comm model.  The two efficiencies BOUND the real
+    one: no-overlap (compute+comm serialized — what a naive schedule
+    pays) and full-overlap (comm hidden behind compute up to the larger
+    of the two — the best any schedule achieves).  XLA overlaps the two
+    psums with each other and with the gradient compute (latency-hiding
+    scheduler), so the truth sits between the bounds, nearer the upper
+    one for compute-heavy shapes.  None when no compute model applies."""
     from recsys_tpu.bench.roofline import train_cost_model
 
     model, per_iter = train_cost_model(spec, cfg, path)
@@ -81,7 +87,9 @@ def projected_efficiency(spec, cfg, path: str, pu: int, pi: int):
     comm = comm_volume_bytes(spec.users, spec.items, spec.features, pu, pi, es) / (
         ICI_GBPS_PER_AXIS * 1e9
     )
-    return compute, comm, compute / (compute + comm) if compute + comm else 1.0
+    serial = compute / (compute + comm) if compute + comm else 1.0
+    overlap = compute / max(compute, comm) if max(compute, comm) else 1.0
+    return compute, comm, serial, overlap
 
 
 def _mesh_shapes(n: int):
@@ -132,8 +140,8 @@ def render_markdown(spec, cfg, path, name, cpu_rows, chips=(1, 2, 4, 8, 16)):
         "",
         "### Per-iteration comm volume per device (ring all-reduce model)",
         "",
-        "| chips | mesh (u x i) | bytes/device/iter | projected compute (us) | projected comm (us) | projected efficiency |",
-        "|---|---|---|---|---|---|",
+        "| chips | mesh (u x i) | bytes/device/iter | projected compute (us) | projected comm (us) | eff (no overlap) | eff (full overlap) |",
+        "|---|---|---|---|---|---|---|",
     ]
     from recsys_tpu.parallel.mesh import balanced_grid
 
@@ -142,19 +150,25 @@ def render_markdown(spec, cfg, path, name, cpu_rows, chips=(1, 2, 4, 8, 16)):
         vol = comm_volume_bytes(spec.users, spec.items, k, pu, pi, es)
         proj = projected_efficiency(spec, cfg, path, pu, pi)
         if proj is None:
-            comp = comm = eff = "-"
+            comp = comm = eff = effo = "-"
         else:
             comp = f"{proj[0] * 1e6:.1f}"
             comm = f"{proj[1] * 1e6:.1f}"
             eff = f"{100 * proj[2]:.0f}%"
-        lines.append(f"| {n} | {pu}x{pi} | {vol:,.0f} | {comp} | {comm} | {eff} |")
+            effo = f"{100 * proj[3]:.0f}%"
+        lines.append(f"| {n} | {pu}x{pi} | {vol:,.0f} | {comp} | {comm} | {eff} | {effo} |")
     lines += [
         "",
         "Projection assumptions (bench/roofline.py, bench/scaling.py): compute",
         "at the formulation's roofline divided across chips; comm on ICI at",
-        f"~{ICI_GBPS_PER_AXIS:.0f} GB/s per mesh axis; NO compute/comm overlap (XLA",
-        "overlaps in practice, so these efficiencies are lower bounds). The",
-        "efficiency target from SURVEY §7.4 is >=80% linear to one host's chips.",
+        f"~{ICI_GBPS_PER_AXIS:.0f} GB/s per mesh axis. The two efficiency columns BOUND",
+        "the real value: 'no overlap' serializes compute+comm (what a naive",
+        "schedule pays); 'full overlap' hides comm behind compute (the best",
+        "any schedule achieves — XLA's latency-hiding scheduler overlaps the",
+        "two psums with the gradient compute, so expect the truth nearer this",
+        "bound for compute-heavy shapes). The efficiency target from SURVEY",
+        "§7.4 is >=80% linear to one host's chips — see the 'Where >=80%",
+        "holds' section below for which regimes meet it.",
         "",
         "### Measured: virtual 8-device CPU mesh, full training program",
         "",
@@ -175,6 +189,141 @@ def render_markdown(spec, cfg, path, name, cpu_rows, chips=(1, 2, 4, 8, 16)):
     return "\n".join(lines)
 
 
+def weak_scaling_section(chips=(1, 2, 4, 8, 16), measure_cpu=True):
+    """Weak-scaling leg: per-chip work FIXED (users grow with the mesh,
+    per-user degree constant), mesh (n, 1) so ΔR all-reduces over the
+    'u' axis.  Under the comm model the per-device volume is then
+    ~2·items·k·es — INDEPENDENT of n — and per-device compute is
+    constant, so projected efficiency approaches a flat asymptote
+    instead of decaying like the strong-scaling rows (this is the regime
+    production embedding/factorization serving actually scales in:
+    more users, same catalogue)."""
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.io.generator import generate_instance
+
+    base_users, items, k = 1250, 2500, 32
+    cfg = RunConfig(dtype="float32", path="bell")
+    lines = [
+        "## Weak scaling (fixed per-chip work: users grow with the mesh)",
+        "",
+        f"Block: {base_users} users x {items} items per chip, k={k}, ~14 nz/user,",
+        "mesh (n x 1), BELL path.  Model columns as above (bounds).",
+        "",
+        "| chips | users | bytes/device/iter | compute/dev (us) | comm (us) | eff (no overlap) | eff (full overlap) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    specs = {}
+    for n in chips:
+        spec = generate_instance(
+            base_users * n, items, k, 8, 20, iters=30, alpha=1e-4, seed=23
+        )
+        specs[n] = spec
+        proj = projected_efficiency(spec, cfg, "bell", n, 1)
+        vol = comm_volume_bytes(spec.users, items, k, n, 1, 4)
+        lines.append(
+            f"| {n} | {spec.users} | {vol:,.0f} | {proj[0] * 1e6:.1f} | "
+            f"{proj[1] * 1e6:.1f} | {100 * proj[2]:.0f}% | {100 * proj[3]:.0f}% |"
+        )
+    if measure_cpu:
+        import jax
+
+        lines += [
+            "",
+            "Measured (virtual CPU mesh, correctness-grade — shared-socket",
+            "bandwidth, see the strong-scaling caveat): per-chip work fixed,",
+            "the wall should stay ~flat as chips are added.",
+            "",
+            "| chips | wall (s) | vs 1 chip (1.0 = perfect weak scaling) |",
+            "|---|---|---|",
+        ]
+        base = None
+        for n in chips:
+            if n > len(jax.devices()):
+                continue
+            rows = measure_cpu_mesh(specs[n], cfg, [(n, 1)], warmup=1, repeats=2)
+            w = rows[0][2]
+            if base is None:
+                base = w
+            lines.append(f"| {n} | {w:.3f} | {base / w:.2f} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def where_80_section(fixture_dir: str, chips=(2, 4, 8, 16, 32)):
+    """The reconciliation the round-3 SCALING.md stopped short of
+    (report-mpi.pdf closes the same loop in §4.1/§5.2): which
+    instance/scale regimes meet SURVEY §7.4's >=80% target, and why the
+    small-instance strong-scaling rows do not."""
+    import dataclasses
+
+    from recsys_tpu.config import RunConfig
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.io.parser import load_problem
+    from recsys_tpu.parallel.mesh import balanced_grid
+
+    cases = []
+    for name, mutate in [
+        ("instML100k", None),
+        ("gen-instML1M", None),
+        ("gen-instML1M @ k=128", lambda s: dataclasses.replace(s, features=128)),
+        ("inst50000-5000-100-2-5", None),
+    ]:
+        base = name.split(" @")[0]
+        path_in = os.path.join(fixture_dir, f"{base}.in")
+        if not os.path.exists(path_in):
+            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+
+            if base in GEN_SPECS:
+                materialize_gen_fixture(base, fixture_dir)
+        spec = load_problem(path_in)
+        if mutate:
+            spec = mutate(spec)
+        cfg = RunConfig(dtype="float32")
+        path = trainer.choose_path(spec, cfg, allow_host=False)
+        cases.append((name, spec, cfg, path))
+
+    lines = [
+        "## Where the >=80% target holds (SURVEY §7.4 reconciliation)",
+        "",
+        "Projected efficiency bounds per instance and chip count (balanced",
+        "grid per count; '>=80' marks configs whose FULL-OVERLAP bound meets",
+        "the target, '>=80!' those where even the NO-OVERLAP lower bound does):",
+        "",
+        "| instance | path | " + " | ".join(f"{n} chips" for n in chips) + " |",
+        "|---|---|" + "---|" * len(chips),
+    ]
+    for name, spec, cfg, path in cases:
+        cells = []
+        for n in chips:
+            pu, pi = balanced_grid(n, spec.users, spec.items)
+            proj = projected_efficiency(spec, cfg, path, pu, pi)
+            if proj is None:
+                cells.append("-")
+                continue
+            lo, hi = 100 * proj[2], 100 * proj[3]
+            mark = " >=80!" if lo >= 80 else (" >=80" if hi >= 80 else "")
+            cells.append(f"{lo:.0f}-{hi:.0f}%{mark}")
+        lines.append(f"| {name} | {path} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "Reading: the target HOLDS (upper bound, usually both bounds) for",
+        "ML1M-scale and larger instances through one host's 8 chips, and for",
+        "k>=100 workloads (inst50000-5000, ML1M@k128) well past 16 chips —",
+        "per-device compute falls like 1/n while ring-all-reduce volume per",
+        "device SHRINKS along the sharded axis, so bigger problems amortize",
+        "comm exactly as report-mpi.pdf §4.1 derives for the reference.  It",
+        "does NOT hold for small strong-scaled instances (instML100k beyond",
+        "~4 chips): at ~100k nnz there is simply not enough per-iteration",
+        "work to hide even tens of microseconds of collective latency —",
+        "the same cliff the reference measured on its cluster (report-mpi.pdf",
+        "Table 1: instML100k *slows down* past 16 ranks, 23.85 s -> 75.93 s",
+        "at 32).  The weak-scaling table above is the regime that scales",
+        "flat: fixed per-chip work with a shared catalogue.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="recsys-tpu-scaling")
     ap.add_argument("--instance", default="instML100k")
@@ -182,6 +331,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=50,
                     help="override iteration count for the CPU measurement")
     ap.add_argument("--out", default=None, help="write the markdown section here")
+    ap.add_argument("--all", action="store_true",
+                    help="regenerate the full docs/SCALING.md (strong sections "
+                         "for instML100k + gen-instML1M, weak scaling, >=80% "
+                         "reconciliation)")
     args = ap.parse_args(argv)
 
     # The measurement leg needs the 8-device virtual CPU mesh — never
@@ -199,14 +352,46 @@ def main(argv=None):
     from recsys_tpu.io.parser import load_problem
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    spec = load_problem(os.path.join(here, "tests", "fixtures", f"{args.instance}.in"))
-    cfg = RunConfig(dtype=args.dtype)
-    path = trainer.choose_path(spec, cfg, allow_host=False)
-    mspec = dataclasses.replace(spec, iters=args.iters)
-    shapes = [s for n in (1, 2, 4, 8) for s in _mesh_shapes(n)]
-    shapes = sorted(set(shapes), key=lambda s: (s[0] * s[1], s[0]))
-    cpu_rows = measure_cpu_mesh(mspec, cfg, shapes)
-    md = render_markdown(spec, cfg, path, args.instance, cpu_rows)
+    fixtures = os.path.join(here, "tests", "fixtures")
+
+    def one_section(name):
+        path_in = os.path.join(fixtures, f"{name}.in")
+        if not os.path.exists(path_in):
+            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+
+            if name in GEN_SPECS:
+                materialize_gen_fixture(name, fixtures)
+        spec = load_problem(path_in)
+        cfg = RunConfig(dtype=args.dtype)
+        path = trainer.choose_path(spec, cfg, allow_host=False)
+        mspec = dataclasses.replace(spec, iters=args.iters)
+        shapes = [s for n in (1, 2, 4, 8) for s in _mesh_shapes(n)]
+        shapes = sorted(set(shapes), key=lambda s: (s[0] * s[1], s[0]))
+        cpu_rows = measure_cpu_mesh(mspec, cfg, shapes)
+        return render_markdown(spec, cfg, path, name, cpu_rows)
+
+    if args.all:
+        header = (
+            "# Scaling (comm-volume model + CPU-mesh correctness measurements)\n"
+            "\n"
+            "Generated by `python -m recsys_tpu.bench.scaling --all --out docs/SCALING.md`.\n"
+            "This is the repo's analogue of the reference's scaling tables\n"
+            "(`run-samples.sh:27-98`; report-mpi.pdf Tables 1-3) under the constraint\n"
+            "that only ONE real TPU chip is reachable from this environment: leg 1 is\n"
+            "the per-iteration comm-volume law (the TPU restatement of report-mpi.pdf\n"
+            "§4.1's |L_blk|+|R_blk| per-rank volume) with BOUNDED overlap credit,\n"
+            "leg 2 the measured step time per mesh shape on the virtual 8-device CPU\n"
+            "mesh (correctness-grade), leg 3 a weak-scaling table (fixed per-chip\n"
+            "work), and leg 4 the reconciliation against SURVEY §7.4's >=80% target.\n"
+            "\n"
+        )
+        md = header
+        for name in ("instML100k", "gen-instML1M"):
+            md += one_section(name) + "\n"
+        md += weak_scaling_section() + "\n"
+        md += where_80_section(fixtures)
+    else:
+        md = one_section(args.instance)
     if args.out:
         open(args.out, "w").write(md)
     else:

@@ -65,6 +65,7 @@ DEFAULT_INSTANCES = [
     "inst600-10000-10-40-400",
     "inst400-50000-30-200-500",
     "instML100k",
+    "gen-instML1M",
     "inst50000-5000-100-2-5",
     # The reference's cluster-only extreme shapes (report-mpi.pdf
     # Table 1, MPI-16): the real 1000x1M k=1000 fixture and the 1M-user
@@ -132,18 +133,25 @@ def run_instance(name: str, dtype: str, repeats: int):
     # per-stage walls separate the steady-state train time from one-shot
     # upload/top-1/prep costs — a 10-iteration extreme-shape wall is
     # upload-dominated and its end-to-end %roofline means nothing.
-    from recsys_tpu.utils.timing import collect_phases
+    from recsys_tpu.utils.timing import collect_phases, sync_floor_seconds
 
     # Two passes, per-phase min: the first pass pays one-shot compiles
     # of the tiny one-element sync programs (~1 s each through the
     # remote attachment) which would otherwise be charged to whatever
-    # phase ran them.
+    # phase ran them.  Each phase's closing sync costs one relay round
+    # trip (~30 ms here) — measure that floor and subtract it, or a
+    # 10000-iteration small-instance train phase reads 2x its true
+    # steady-state time.
     ph: dict = {}
+    synced: set = set()
     for _ in range(2):
         p: dict = {}
         with collect_phases(p):
             trainer.run(spec, cfg)
+        synced |= p.pop("_synced", set())
         ph = {k: min(v, ph.get(k, v)) for k, v in p.items()}
+    floor = sync_floor_seconds() if synced else 0.0
+    ph = {k: max(v - floor, 0.0) if k in synced else v for k, v in ph.items()}
     train_s = ph.get("train")
     # XLA's per-program memory analysis, not runtime memory_stats: the
     # runtime figure is a process-lifetime high-water mark that would
@@ -154,7 +162,10 @@ def run_instance(name: str, dtype: str, repeats: int):
     from recsys_tpu.bench.roofline import pct_of_roofline
 
     rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, train_s or wall)
+    import jax
+
     row = {
+        "backend": jax.default_backend(),
         "hbm_peak_mb": hbm_peak_mb,
         "resident_vmem_est_mb": vmem_mb,
         "instance": name,
@@ -311,7 +322,14 @@ def main(argv=None):
     ap.add_argument("--f64-cell-limit", type=int, default=F64_CELL_LIMIT,
                     help="skip f64 rows above users*items cells")
     ap.add_argument("--render", default=None, help="render this JSONL to --out and exit")
+    ap.add_argument("--backend", default=None,
+                    help="force a JAX platform (e.g. cpu) — the env var alone "
+                         "does not stick where an attachment plugin re-registers")
     args = ap.parse_args(argv)
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     if args.render:
         rows = [json.loads(l) for l in open(args.render) if l.strip()]

@@ -448,23 +448,24 @@ def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
     decides which fused kernel runs (factorize, run, memory analysis and
     the bench VMEM column all consult it):
 
-    * ``resident`` — whole problem VMEM-resident, strip walk statically
-      unrolled.  Only up to 4 strips: past that Mosaic either spills
-      (unrolled) or walks dynamic offsets (in-kernel fori_loop, measured
-      ~4x slower at gen-ML1M shape) — the streamed grid wins instead.
-    * ``stream``  — factors/accumulators VMEM-resident, A streamed from
-      HBM one (U, strip) block per grid step (any A size).
+    * ``resident`` — whole problem VMEM-resident (transposed A), strip
+      walk statically unrolled.  ``strip_for`` sizes at most 4 sublane-
+      granular strips: past that Mosaic either spills (unrolled) or
+      walks dynamic offsets (in-kernel fori_loop, measured ~4x slower
+      at gen-ML1M shape) — the streamed grid wins instead.
+    * ``stream``  — factors/accumulators VMEM-resident, transposed A
+      streamed from HBM one (512, U) block per grid step (any A size).
     * ``tiled``   — two-pass tiled fallback for shapes whose factor
-      tables or (U, strip) blocks exceed VMEM.
+      tables or streamed blocks exceed VMEM.
     """
-    strip = pallas_dense.strip_for(spec)
-    n_strips = -(-spec.items // strip)
-    a_dtype = _resident_a_dtype(spec, strip, fused_top1)
-    if a_dtype is not None and n_strips <= 4:
-        return "resident", a_dtype, strip
+    strip = 512
+    for cand in pallas_dense.strip_candidates(spec):
+        a_dtype = _resident_a_dtype(spec, cand, fused_top1)
+        if a_dtype is not None:
+            return "resident", a_dtype, cand
     a_dtype, a_bytes = _a_storage(spec)
-    if pallas_dense.stream_fits(spec, strip=strip, a_bytes=a_bytes):
-        return "stream", a_dtype, strip
+    if pallas_dense.stream_fits(spec, strip=512, a_bytes=a_bytes):
+        return "stream", a_dtype, 512
     return "tiled", None, strip
 
 
@@ -475,7 +476,7 @@ def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: 
         with phase("prep"):
             Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip, state=state)
         with phase("upload") as psync:
-            A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+            A = pallas_dense.device_dense_AT(spec, U, I, dtype=a_dtype)
             Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
             psync((A, Lt, Rt))
         train = (
@@ -564,7 +565,7 @@ def train_memory_analysis(spec: ProblemSpec, cfg: RunConfig = RunConfig()):
                     )
                 )
                 lowered = fn.lower(
-                    sds(Lt), sds(Rt), jax.ShapeDtypeStruct((U, I), a_dtype)
+                    sds(Lt), sds(Rt), jax.ShapeDtypeStruct((I, U), a_dtype)
                 )
             else:
                 bu, bi = _tiled_dims(spec)
@@ -640,7 +641,7 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
         with phase("prep"):
             Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
         with phase("upload") as psync:
-            A = pallas_dense.device_dense_A(spec, U, I, dtype=a_dtype)
+            A = pallas_dense.device_dense_AT(spec, U, I, dtype=a_dtype)
             Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
             psync((A, Lt, Rt))
         train_top1 = (
@@ -658,7 +659,7 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
             )
             psync(top1)
         with phase("top1"):
-            return np.asarray(top1)[: spec.users, 0]
+            return np.asarray(top1)[0, : spec.users]
 
 
 def run(spec: ProblemSpec, cfg: RunConfig = RunConfig()) -> tuple[str, "np.ndarray"]:

@@ -376,6 +376,16 @@ def _regather(F_other, idx_flat):
 # ~20 orders of magnitude above this; every byte-exact conformance
 # golden validates through this path (test_bell.py), and
 # SPLIT_GATHER_F64 turns it off for pathological data.
+#
+# Why not a TWO-way (hi, lo) split — narrower rows, 2k <= 64 lanes at
+# k <= 32?  (a) It is not bit-exact: the first residual x - f32(x)
+# carries up to 29 significant bits, more than f32's 24, so lo loses
+# low bits (counterexample pinned by test_split2_is_not_exact) — and
+# bit-exactness is this mode's entire contract.  (b) It would not be
+# faster anyway: the gather engine's row rate is width-independent up
+# to 512 B rows (probe_gather_rate.py: k32 == k128 f32), and 3k vs 2k
+# f32 rows both sit far under 512 B for every k the split bands cover,
+# so fewer lanes per row buys zero rows/s.
 SPLIT_GATHER_F64 = True
 
 

@@ -8,12 +8,15 @@ matmuls; reference hot loop: ``matFact.c:41-53``):
   working sets up to ``RESIDENT_VMEM_BUDGET`` — covers instML100k's
   7 MB up to 600×10240-sized matrices), the ENTIRE training loop runs
   inside one kernel — optionally with the masked top-1 scan fused in,
-  making the whole problem a single ``pallas_call``. A stays
-  VMEM-resident across all iterations; L and R are updated in place
-  (input/output aliased); the only HBM traffic of the whole run is the
-  initial fill and final drain. The error tile is computed
-  strip-by-strip on the MXU and immediately consumed by the two
-  gradient matmuls, so it never exists outside VMEM.
+  making the whole problem a single ``pallas_call``. A is stored
+  TRANSPOSED (items × users) and stays VMEM-resident across all
+  iterations; L and R are updated in place (input/output aliased); the
+  only HBM traffic of the whole run is the initial fill and final
+  drain. The transposed-error orientation lets all three matmuls read
+  the K-major factor tables directly (no per-iteration transpose), and
+  the error tile is computed strip-by-strip on the MXU and immediately
+  consumed by the two gradient matmuls, so it never exists outside
+  VMEM.
 
 * **tiled**: one GD iteration for arbitrary sizes, two passes over A's
   (row-block × col-block) tiles. Pass 1 accumulates ΔL (grid rows outer,
@@ -59,10 +62,38 @@ def _round_up(n: int, m: int) -> int:
 VMEM_LIMIT_BYTES = 112 * 1024 * 1024
 
 
+def strip_candidates(spec) -> list[int]:
+    """Resident-kernel item-strip heights, best first.
+
+    A is stored TRANSPOSED (items x users), so the strip walk slices
+    item ROWS — but the matching ``Rtout[:, off:off+strip]`` slice is a
+    LANE-dimension slice of the (K, I) factor table, and Mosaic wants
+    lane offsets 128-aligned (the round-4 sublane-granular first cut,
+    strip=424/992, measured slower at ML100k and crashed the remote
+    compiler at ML1M shape).  So strips are multiples of 128, at most 4
+    of them (the static-unroll limit), ranked by item padding (round 3
+    always used 512-lane strips: instML100k paid 1682 -> 2048, a 21.8%
+    tax on every MXU pass; the n=2 candidate pays 1682 -> 1792) and
+    then by strip size (smaller strips = smaller error-tile
+    temporaries).  ``_pallas_plan`` picks the first candidate whose
+    VMEM estimate fits."""
+    i128 = _round_up(max(spec.items, 1), 128)
+    cands = []
+    for n in (1, 2, 3, 4):
+        strip = 128 * (-(-i128 // (128 * n)))
+        pad = n * strip - spec.items
+        cands.append((pad, -n, strip))
+    cands.sort()
+    out = []
+    for _, _, strip in cands:
+        if strip not in out:
+            out.append(strip)
+    return out
+
+
 def strip_for(spec) -> int:
-    """Resident-kernel item-strip width: 512 lanes once the item
-    dimension is big enough to amortize it, 128 for small problems."""
-    return 512 if spec.items * 8 > 4096 else 128
+    """Best-padding resident strip (see ``strip_candidates``)."""
+    return strip_candidates(spec)[0]
 
 
 def _interpret(flag: bool | None) -> bool:
@@ -121,12 +152,13 @@ def _dot(a, b, dims, precision: str) -> jnp.ndarray:
     )
 
 
-def _load_a(A_ref, off, strip) -> jnp.ndarray:
-    """One (U, strip) f32 slab of A from its storage dtype.  int8 holds
-    2x the rating (half-star scales are integers there); x0.5 is exact
-    in binary floating point, so every storage dtype yields the SAME
-    f32 values and the kernels' arithmetic is storage-invariant."""
-    a = A_ref[:, pl.dslice(off, strip)].astype(jnp.float32)
+def _load_at(A_ref, off, strip) -> jnp.ndarray:
+    """One (strip, U) f32 slab of the TRANSPOSED ratings matrix from its
+    storage dtype.  int8 holds 2x the rating (half-star scales are
+    integers there); x0.5 is exact in binary floating point, so every
+    storage dtype yields the SAME f32 values and the kernels'
+    arithmetic is storage-invariant."""
+    a = A_ref[pl.dslice(off, strip), :].astype(jnp.float32)
     if A_ref.dtype == jnp.int8:
         a = a * jnp.float32(0.5)
     return a
@@ -137,16 +169,20 @@ def _load_a(A_ref, off, strip) -> jnp.ndarray:
 # ---------------------------------------------------------------------
 
 
-def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref, Lu_ref, *, iters, alpha2, strip, precision):
-    """K-major layout: factors are (K, U) / (K, I) with K a sublane
-    multiple (8), NOT a lane multiple (128).  The two gradient matmuls
-    then stream only K rows through the MXU — at k=30 that is 4x fewer
-    MXU passes than the lane-major form, whose k->128 padding made every
-    gradient matmul pay for 128 output lanes (the round-1 "k-padding
-    tax": ML100k ran k=30 as K=128, ~23% useful FLOPs).  The prediction
-    matmul (whose output is the (U, strip) error tile, irreducible) uses
-    a once-per-iteration transposed copy Lu (U, K) so all three products
-    lower as MXU-native forms."""
+def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref, *, iters, alpha2, strip, precision):
+    """K-major factors (K, U) / (K, I) with K a sublane multiple (8),
+    NOT a lane multiple (128), and A stored TRANSPOSED (I, U).  All
+    three per-strip matmuls then read the resident tables directly:
+
+        pred^T (strip, U) = rt^T·Lt   contracting K   (128-lane pass)
+        dLt    (K, U)     = rt·e^T    contracting strip (true-k cost)
+        dRt    (K, strip) = Lt·e^T    contracting U     (true-k cost)
+
+    — the gradient matmuls stream only K sublane rows (the round-1
+    "k-padding tax" fix), and the transposed error orientation removes
+    round 3's per-iteration Lu transpose (U, K), the last non-matmul
+    VPU/XLU cost in the loop.  The strip walk slices item ROWS of A^T,
+    so items pad to a sublane multiple instead of a 512-lane strip."""
     K, U = Lt_ref.shape
     I = Rt_ref.shape[1]
     n_strips = I // strip
@@ -159,31 +195,31 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
         # bf16) or int8 (2x the rating, exact for half-star scales —
         # dequantized by an EXACT x0.5), shrinking its VMEM footprint
         # 2x/4x; the error math stays f32 and results are bit-identical.
-        a = _load_a(A_ref, off, strip)  # (U, strip) f32
+        a = _load_at(A_ref, off, strip)  # (strip, U) f32
         rt = _maybe_split(Rtout_ref[:, pl.dslice(off, strip)], precision)  # (K, strip)
-        # E strip: masked error on the MXU. (A != 0) is the mask.
-        pred = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
+        lt = _maybe_split(Ltout_ref[:], precision)  # (K, U)
+        # E^T strip: masked error on the MXU. (A != 0) is the mask.
+        pred = _dot(rt, lt, (((0,), (0,)), ((), ())), precision)  # (strip, U)
         e = _maybe_split(jnp.where(a != 0.0, a - pred, 0.0), precision)
-        # (K, strip) x (U, strip)^T -> (K, U): streams K rows only.
-        dLt_ref[:] += _dot(rt, e, (((1,), (1,)), ((), ())), precision)
-        # (K, U) x (U, strip) -> (K, strip): streams K rows only.
+        # (K, strip) x (strip, U) -> (K, U): streams K rows only.
+        dLt_ref[:] += _dot(rt, e, (((1,), (0,)), ((), ())), precision)
+        # (K, U) x (strip, U)^T -> (K, strip): streams K rows only.
         dRt_ref[:, pl.dslice(off, strip)] = _dot(
-            Ltout_ref[:], e, (((1,), (0,)), ((), ())), precision
+            lt, e, (((1,), (1,)), ((), ())), precision
         )
 
     def iter_body(_, carry):
-        # Stable-snapshot semantics (matFact.c:38-39): Lu/rt/Ltout all
-        # read the pre-iteration factors; updates land after the strips.
-        Lu_ref[:] = Ltout_ref[:].T
+        # Stable-snapshot semantics (matFact.c:38-39): every strip reads
+        # the pre-iteration factors; updates land after the strips.
         dLt_ref[:] = jnp.zeros_like(dLt_ref)
         if n_strips <= 4:
             # Static unroll: lets Mosaic pipeline the few strips.
             for s in range(n_strips):
                 do_strip(s * strip)
         else:
-            # Big unrolls spill: Mosaic kept every strip's (U, strip)
-            # temporaries live at once (measured 186 MB of register
-            # spill slots at gen-ML1M shape, 8 strips) — loop instead.
+            # Big unrolls spill: Mosaic kept every strip's temporaries
+            # live at once (measured 186 MB of register spill slots at
+            # gen-ML1M shape, 8 strips) — loop instead.
             def strip_body(s, c):
                 do_strip(s * strip)
                 return c
@@ -202,9 +238,9 @@ def _resident_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_r
 def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
     """Full training loop in one VMEM-resident kernel, K-major factors.
 
-    Lt: (K, U), Rt: (K, I), A: (U, I); U mult of 128, K mult of 8, I
-    mult of ``strip`` (itself a mult of 128); factors float32,
-    zero-padded; A float32 or bfloat16.
+    Lt: (K, U), Rt: (K, I), A: (I, U) TRANSPOSED; U mult of 128, K mult
+    of 8, I mult of ``strip`` (itself a mult of 8); factors float32,
+    zero-padded; A float32, bfloat16 or int8 (2x-rating).
     ``precision``: MXU pass count for the f32 matmuls — "highest" is
     true-f32 accuracy (6 bf16 passes), "bf16x3" the manual 3-pass split
     product (~16-bit mantissa, see ``_dot``), "default" single-pass bf16.
@@ -212,7 +248,7 @@ def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, in
     """
     K, U = Lt.shape
     I = Rt.shape[1]
-    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
+    assert A.shape == (I, U) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
     kernel = functools.partial(
         _resident_kernel, iters=iters, alpha2=alpha2, strip=strip, precision=precision
     )
@@ -235,7 +271,6 @@ def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, in
         scratch_shapes=[
             pltpu.VMEM((K, U), jnp.float32),  # dLt accumulator
             pltpu.VMEM((K, I), jnp.float32),  # dRt accumulator
-            pltpu.VMEM((U, K), jnp.float32),  # Lu: per-iter transposed L
         ],
         # L and R update in place: the factor tables live in one VMEM
         # buffer each for the whole run.
@@ -251,20 +286,21 @@ def resident_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, in
 # ---------------------------------------------------------------------
 
 
-def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, Lu_ref, bv_ref, *, n_strips, strip, alpha2, precision, items_true, fused_top1):
-    """One (iteration, strip) grid step.  The strip walk lives on the
-    PALLAS GRID, not in an in-kernel fori_loop: every A access is a
-    static block the pipeline double-buffers from HBM, and Mosaic
-    schedules one strip's matmuls per step (no unroll spills, no
-    dynamic-offset walks over the big array — the in-kernel fori_loop
-    variant measured ~4x slower at gen-ML1M shape).  Factors, gradient
-    accumulators and the Lu transpose live in VMEM scratch/outputs with
-    constant index maps, so they never touch HBM between grid steps; A
-    is the only per-iteration HBM traffic (~60 us/iter at ML1M shape,
-    overlapped with compute).  When ``fused_top1`` the grid runs one
-    extra "iteration" that reconstructs B strip-by-strip and keeps a
-    running (best value, lowest index) per user — whole problem, one
-    kernel, any A size whose factors fit VMEM."""
+def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, bv_ref, *, n_strips, strip, alpha2, precision, items_true, fused_top1):
+    """One (iteration, strip) grid step over TRANSPOSED A (I, U).  The
+    strip walk lives on the PALLAS GRID, not in an in-kernel fori_loop:
+    every A access is a static block the pipeline double-buffers from
+    HBM, and Mosaic schedules one strip's matmuls per step (no unroll
+    spills, no dynamic-offset walks over the big array — the in-kernel
+    fori_loop variant measured ~4x slower at gen-ML1M shape).  Factors
+    and gradient accumulators live in VMEM scratch/outputs with constant
+    index maps, so they never touch HBM between grid steps; A is the
+    only per-iteration HBM traffic, overlapped with compute.  The
+    transposed orientation needs no per-iteration Lu transpose (see
+    ``_resident_kernel``).  When ``fused_top1`` the grid runs one extra
+    "iteration" that reconstructs B strip-by-strip and keeps a running
+    (best value, lowest index) per user — whole problem, one kernel,
+    any A size whose factors fit VMEM."""
     it = pl.program_id(0)
     s = pl.program_id(1)
     off = s * strip
@@ -276,23 +312,23 @@ def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref
 
     @pl.when(s == 0)
     def _():
-        # Stable-snapshot semantics (matFact.c:38-39): Lu reads the
-        # pre-iteration factors; updates land after the last strip.
-        Lu_ref[:] = Ltout_ref[:].T
         dLt_ref[:] = jnp.zeros_like(dLt_ref)
 
-    a = A_ref[:].astype(jnp.float32)  # (U, strip) streamed block
+    a = A_ref[:].astype(jnp.float32)  # (strip, U) streamed block
     if A_ref.dtype == jnp.int8:
-        a = a * jnp.float32(0.5)  # exact dequant (see _load_a)
+        a = a * jnp.float32(0.5)  # exact dequant (see _load_at)
     rt = Rtout_ref[:, pl.dslice(off, strip)]  # (K, strip) VMEM slice
 
     def train_step():
         rts = _maybe_split(rt, precision)
-        pred = _dot(Lu_ref[:], rts, (((1,), (0,)), ((), ())), precision)
+        lts = _maybe_split(Ltout_ref[:], precision)
+        # Stable-snapshot semantics (matFact.c:38-39): every strip reads
+        # the pre-iteration factors; updates land after the last strip.
+        pred = _dot(rts, lts, (((0,), (0,)), ((), ())), precision)  # (strip, U)
         e = _maybe_split(jnp.where(a != 0.0, a - pred, 0.0), precision)
-        dLt_ref[:] += _dot(rts, e, (((1,), (1,)), ((), ())), precision)
+        dLt_ref[:] += _dot(rts, e, (((1,), (0,)), ((), ())), precision)
         dRt_ref[:, pl.dslice(off, strip)] = _dot(
-            Ltout_ref[:], e, (((1,), (0,)), ((), ())), precision
+            Ltout_ref[:], e, (((1,), (1,)), ((), ())), precision
         )
 
         @pl.when(s == n_strips - 1)
@@ -312,23 +348,22 @@ def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref
 
     @pl.when(it == n_iters)
     def _():
-        # Final pass: reconstruct B strip-by-strip (Lu holds the FINAL
-        # factors — the s == 0 prologue above transposed the updated
-        # Ltout), mask rated cells and item padding, keep the running
-        # maximum.  Strictly-greater updates preserve the reference's
-        # lowest-index tie-break (matFact.c:17).
-        U = Lu_ref.shape[0]
+        # Final pass: reconstruct B^T strip-by-strip from the FINAL
+        # factors, mask rated cells and item padding, keep the running
+        # maximum per user (lane).  Strictly-greater updates preserve
+        # the reference's lowest-index tie-break (matFact.c:17).
+        U = Ltout_ref.shape[1]
 
         @pl.when(s == 0)
         def _():
             bv_ref[:] = jnp.full_like(bv_ref, -jnp.inf)
             top_ref[:] = jnp.zeros_like(top_ref)
 
-        b = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
-        col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
-        b = jnp.where((a != 0.0) | (col >= items_true), -jnp.inf, b)
-        val = jnp.max(b, axis=1, keepdims=True)
-        idx = jnp.argmax(b, axis=1, keepdims=True).astype(jnp.int32) + off
+        b = _dot(rt, Ltout_ref[:], (((0,), (0,)), ((), ())), precision)  # (strip, U)
+        row = jax.lax.broadcasted_iota(jnp.int32, (strip, U), 0) + off
+        b = jnp.where((a != 0.0) | (row >= items_true), -jnp.inf, b)
+        val = jnp.max(b, axis=0, keepdims=True)  # (1, U)
+        idx = jnp.argmax(b, axis=0, keepdims=True).astype(jnp.int32) + off
         take = val > bv_ref[:]
         bv_ref[:] = jnp.where(take, val, bv_ref[:])
         top_ref[:] = jnp.where(take, idx, top_ref[:])
@@ -337,10 +372,10 @@ def _stream_kernel(Lt_ref, Rt_ref, A_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref
 def _stream_call(Lt, Rt, A, *, iters, alpha2, strip, interpret, precision, items_true, fused_top1):
     K, U = Lt.shape
     I = Rt.shape[1]
-    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
+    assert A.shape == (I, U) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
     if iters == 0 and not fused_top1:
         # Zero grid steps would leave the aliased outputs unwritten.
-        return Lt, Rt, jnp.zeros((U, 1), jnp.int32)
+        return Lt, Rt, jnp.zeros((1, U), jnp.int32)
     n_strips = I // strip
     kernel = functools.partial(
         _stream_kernel, n_strips=n_strips, strip=strip, alpha2=alpha2,
@@ -353,23 +388,22 @@ def _stream_call(Lt, Rt, A, *, iters, alpha2, strip, interpret, precision, items
         out_shape=(
             jax.ShapeDtypeStruct((K, U), jnp.float32),
             jax.ShapeDtypeStruct((K, I), jnp.float32),
-            jax.ShapeDtypeStruct((U, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, U), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec((K, U), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, I), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, strip), lambda it, s: (0, s)),  # streamed
+            pl.BlockSpec((strip, U), lambda it, s: (s, 0)),  # streamed
         ],
         out_specs=(
             pl.BlockSpec((K, U), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, I), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, 1), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U), lambda it, s: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((K, U), jnp.float32),  # dLt accumulator
             pltpu.VMEM((K, I), jnp.float32),  # dRt accumulator
-            pltpu.VMEM((U, K), jnp.float32),  # Lu: per-iter transposed L
-            pltpu.VMEM((U, 1), jnp.float32),  # running best value
+            pltpu.VMEM((1, U), jnp.float32),  # running best value
         ],
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
@@ -384,9 +418,10 @@ def _stream_call(Lt, Rt, A, *, iters, alpha2, strip, interpret, precision, items
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision"))
 def stream_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest"):
-    """Full training loop, K-major factors VMEM-resident, A streamed
-    from HBM one (U, strip) block per grid step (same shapes/contract as
-    ``resident_train``; A may be any size whose factor tables fit)."""
+    """Full training loop, K-major factors VMEM-resident, transposed A
+    streamed from HBM one (strip, U) block per grid step (same shapes/
+    contract as ``resident_train``; A may be any size whose factor
+    tables fit)."""
     Ltp, Rtp, _ = _stream_call(
         Lt, Rt, A, iters=iters, alpha2=alpha2, strip=strip,
         interpret=interpret, precision=precision, items_true=0, fused_top1=False,
@@ -397,7 +432,7 @@ def stream_train(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, inte
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
 def stream_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
     """stream_train + fused masked top-1 (one extra grid pass over A).
-    Returns (Lt', Rt', top1[U, 1] int32)."""
+    Returns (Lt', Rt', top1[1, U] int32)."""
     return _stream_call(
         Lt, Rt, A, iters=iters, alpha2=alpha2, strip=strip,
         interpret=interpret, precision=precision, items_true=items_true,
@@ -407,12 +442,12 @@ def stream_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512,
 
 def stream_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
     """Estimated VMEM working set of the streamed kernel: factor tables
-    (in + out + accumulators + Lu) plus double-buffered A strips and one
-    (U, strip) error tile — A itself stays in HBM."""
+    (in + out + accumulators) plus double-buffered A strips and one
+    (strip, U) error tile — A itself stays in HBM."""
     U = _round_up(spec.users, 128)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 8)
-    return 4 * (5 * U * K + 4 * I * K) + (2 * a_bytes + 8) * U * strip
+    return 4 * (4 * U * K + 4 * I * K) + (2 * a_bytes + 8) * U * strip
 
 
 # Streamed-kernel VMEM gate, same margin philosophy as the resident
@@ -511,14 +546,15 @@ def tiled_gd_step(L, R, A, alpha2, *, bu: int = 1024, bi: int = 1024, interpret:
     return L + alpha2 * dL, R + alpha2 * dR
 
 
-def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, Lu_ref, bv_ref, *, iters, alpha2, strip, precision, items_true):
+def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, dLt_ref, dRt_ref, bv_ref, *, iters, alpha2, strip, precision, items_true):
     """Resident kernel + fused masked top-1: the whole problem in one
-    kernel. After the training loop, reconstruct B strip-by-strip on the
-    MXU, mask rated cells (A != 0) and padded items, and keep a running
-    (best value, best index) per user. Strictly-greater updates preserve
-    the reference's lowest-index tie-break (``matFact.c:17``)."""
+    kernel. After the training loop, reconstruct B^T strip-by-strip on
+    the MXU, mask rated cells (A != 0) and padded items, and keep a
+    running (best value, best index) per user lane. Strictly-greater
+    updates preserve the reference's lowest-index tie-break
+    (``matFact.c:17``)."""
     _resident_kernel(
-        A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref, Lu_ref,
+        A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, dLt_ref, dRt_ref,
         iters=iters, alpha2=alpha2, strip=strip, precision=precision,
     )
     K, U = Lt_ref.shape
@@ -526,16 +562,15 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
     neg = jnp.float32(-jnp.inf)
     bv_ref[:] = jnp.full_like(bv_ref, neg)
     top_ref[:] = jnp.zeros_like(top_ref)
-    Lu_ref[:] = Ltout_ref[:].T  # final factors for the B reconstruction
 
     def top1_strip(off):
-        a = _load_a(A_ref, off, strip)
+        a = _load_at(A_ref, off, strip)
         rt = Rtout_ref[:, pl.dslice(off, strip)]
-        b = _dot(Lu_ref[:], rt, (((1,), (0,)), ((), ())), precision)
-        col = jax.lax.broadcasted_iota(jnp.int32, (U, strip), 1) + off
-        b = jnp.where((a != 0.0) | (col >= items_true), neg, b)
-        val = jnp.max(b, axis=1, keepdims=True)  # (U, 1)
-        idx = jnp.argmax(b, axis=1, keepdims=True).astype(jnp.int32) + off
+        b = _dot(rt, Ltout_ref[:], (((0,), (0,)), ((), ())), precision)  # (strip, U)
+        row = jax.lax.broadcasted_iota(jnp.int32, (strip, U), 0) + off
+        b = jnp.where((a != 0.0) | (row >= items_true), neg, b)
+        val = jnp.max(b, axis=0, keepdims=True)  # (1, U)
+        idx = jnp.argmax(b, axis=0, keepdims=True).astype(jnp.int32) + off
         take = val > bv_ref[:]
         bv_ref[:] = jnp.where(take, val, bv_ref[:])
         top_ref[:] = jnp.where(take, idx, top_ref[:])
@@ -555,11 +590,11 @@ def _resident_top1_kernel(A_ref, Lt_ref, Rt_ref, Ltout_ref, Rtout_ref, top_ref, 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha2", "strip", "interpret", "precision", "items_true"))
 def resident_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
-    """resident_train + fused top-1 (K-major factors).
-    Returns (Lt', Rt', top1[U, 1] int32)."""
+    """resident_train + fused top-1 (K-major factors, transposed A).
+    Returns (Lt', Rt', top1[1, U] int32)."""
     K, U = Lt.shape
     I = Rt.shape[1]
-    assert A.shape == (U, I) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
+    assert A.shape == (I, U) and I % strip == 0 and K % 8 == 0 and U % 128 == 0
     kernel = functools.partial(
         _resident_top1_kernel, iters=iters, alpha2=alpha2, strip=strip,
         precision=precision, items_true=items_true,
@@ -570,7 +605,7 @@ def resident_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 51
         out_shape=(
             jax.ShapeDtypeStruct((K, U), jnp.float32),
             jax.ShapeDtypeStruct((K, I), jnp.float32),
-            jax.ShapeDtypeStruct((U, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, U), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -585,8 +620,7 @@ def resident_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 51
         scratch_shapes=[
             pltpu.VMEM((K, U), jnp.float32),
             pltpu.VMEM((K, I), jnp.float32),
-            pltpu.VMEM((U, K), jnp.float32),  # Lu
-            pltpu.VMEM((U, 1), jnp.float32),  # running best value
+            pltpu.VMEM((1, U), jnp.float32),  # running best value
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
@@ -625,27 +659,27 @@ RESIDENT_TOP1_VMEM_BUDGET = 52 << 20
 
 
 def pad_for_pallas(spec, strip: int = 512):
-    """Zero-padded K-major (Lt0, Rt0, A, dims) for the resident kernels,
-    float32.
+    """Zero-padded K-major (Lt0, Rt0, A^T, dims) for the resident
+    kernels, float32.
 
-    Returns (Lt (K,U), Rt (K,I), A (U,I), (U, I, K)) with U mult 128
-    (lane dim of the K-major factors), I mult ``strip``, K mult 8
-    (sublane dim — NOT 128: the whole point of the K-major layout).
-    Padding is self-masking (A = 0 there).
+    Returns (Lt (K,U), Rt (K,I), A (I,U) TRANSPOSED, (U, I, K)) with U
+    mult 128 (lane dim), I mult ``strip`` (sublane-granular strips), K
+    mult 8 (sublane dim — NOT 128: the whole point of the K-major
+    layout).  Padding is self-masking (A = 0 there).
     """
     import numpy as np
 
     from recsys_tpu.utils.hostmem import hugepage_zeros
 
     Lt, Rt, (U, I, K) = pad_factors_for_pallas(spec, strip=strip)
-    A = hugepage_zeros((U, I), np.float32)
-    A[spec.rows, spec.cols] = spec.vals
+    A = hugepage_zeros((I, U), np.float32)
+    A[spec.cols, spec.rows] = spec.vals
     return Lt, Rt, A, (U, I, K)
 
 
 def pad_factors_for_pallas(spec, strip: int = 512, state=None):
     """Zero-padded K-major f32 (Lt0, Rt0, dims) without materializing
-    dense A on host — A is densified on device by ``device_dense_A``
+    dense A on host — A is densified on device by ``device_dense_AT``
     (uploading the nnz-sized COO instead of the users×items matrix; for
     ML1M-scale the transfer drops ~8x).
 
@@ -720,13 +754,13 @@ def vals_int8_exact(spec) -> bool:
     )
 
 
-def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
-    """Zero-padded dense A on device: host build (pooled THP staging)
-    + one upload.  A device-side scatter densify was measured at a FIXED
-    ~0.4 s of execution per call on this TPU regardless of nnz (15 or
-    100k updates alike) — slower than uploading any A the dense paths
-    accept (the >256 MB ones route to BELL, trainer.py), so the scatter
-    variant was removed."""
+def device_dense_AT(spec, U: int, I: int, dtype=jnp.float32):
+    """Zero-padded TRANSPOSED dense A (I, U) on device: host build
+    (pooled THP staging) + one upload.  A device-side scatter densify
+    was measured at a FIXED ~0.4 s of execution per call on this TPU
+    regardless of nnz (15 or 100k updates alike) — slower than
+    uploading any A the dense paths accept (the >256 MB ones route to
+    BELL, trainer.py), so the scatter variant was removed."""
     import numpy as np
 
     from recsys_tpu.utils.hostmem import hugepage_zeros
@@ -736,24 +770,42 @@ def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
         # U*I BYTES (not f32 words) and the upload shrinks 4x — the
         # attachment moves GB-scale arrays at ~0.1 GB/s, so at ML1M
         # shape this is most of the non-train wall.
-        a = hugepage_zeros((U, I), np.int8)
-        a[spec.rows, spec.cols] = np.round(
+        a = hugepage_zeros((I, U), np.int8)
+        a[spec.cols, spec.rows] = np.round(
             np.asarray(spec.vals, np.float64) * 2.0
         ).astype(np.int8)
         return jnp.asarray(a)
+    a = hugepage_zeros((I, U), np.float32)
+    a[spec.cols, spec.rows] = spec.vals
+    return jnp.asarray(a, dtype)
+
+
+def device_dense_A(spec, U: int, I: int, dtype=jnp.float32):
+    """Zero-padded dense A (U, I) on device for the lane-major TILED
+    kernels (the resident/stream kernels use ``device_dense_AT``)."""
+    import numpy as np
+
+    from recsys_tpu.utils.hostmem import hugepage_zeros
+
     a = hugepage_zeros((U, I), np.float32)
     a[spec.rows, spec.cols] = spec.vals
     return jnp.asarray(a, dtype)
 
 
 def resident_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
-    """Estimated VMEM working set of the K-major resident kernel: A +
-    aliased factor tables + dLt/dRt accumulators + Lu transpose + one
-    (U, strip) error tile."""
+    """Estimated VMEM working set of the K-major resident kernel: A^T +
+    aliased factor tables + dLt/dRt accumulators + the LIVE (strip, U)
+    error tiles.  The static strip unroll lets Mosaic keep every
+    strip's error tile alive at once (measured: gen-ML1M at 4 x 25 MB
+    tiles + 24 MB A crashed the remote compiler; the same shape with
+    one tile in flight — the streamed grid — compiles), so the
+    estimate charges min(n_strips, 4) tiles."""
     U = _round_up(spec.users, 128)
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 8)
-    return a_bytes * U * I + 4 * (3 * U * K + 2 * I * K + U * strip)
+    n_strips = max(I // strip, 1)
+    live = min(n_strips, 4) if n_strips <= 4 else 1  # fori branch: one live
+    return a_bytes * U * I + 4 * (2 * U * K + 2 * I * K + live * U * strip)
 
 
 def resident_fits(spec, strip: int = 512, a_bytes: int = 4, fused_top1: bool = False) -> bool:

@@ -64,15 +64,40 @@ def _noop_sync(x=None):
 
 def force_sync(x=None):
     """Force completion of the device computation producing ``x`` (any
-    pytree) via a one-element transfer per jax-array leaf."""
+    pytree) with ONE blocking device->host round trip: per-leaf
+    one-element slices dispatch eagerly (async), a combined scalar sum
+    is fetched once.  Per-leaf np.asarray would pay one relay RTT
+    (~30 ms through the remote attachment) per leaf."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    for leaf in jax.tree.leaves(x):
-        if hasattr(leaf, "block_until_ready"):
-            shape = getattr(leaf, "shape", ())
-            np.asarray(leaf[tuple(0 for _ in shape)] if shape else leaf)
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "block_until_ready")]
+    if not leaves:
+        return x
+    acc = None
+    for l in leaves:
+        v = (l.reshape(-1)[0] if getattr(l, "shape", ()) else l).astype(jnp.float32)
+        acc = v if acc is None else acc + v
+    np.asarray(acc)
     return x
+
+
+def sync_floor_seconds(samples: int = 5) -> float:
+    """Measured cost of one force_sync round trip on already-complete
+    data — the fixed overhead every phase's closing sync pays (relay
+    RTT + tiny-program dispatch).  Subtract from phase walls to
+    de-bias short phases."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8,), jnp.float32) + 1.0
+    force_sync(x)  # compile the slice/convert programs once
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        force_sync(x)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 @contextlib.contextmanager
@@ -90,12 +115,24 @@ def collect_phases(out: dict):
 @contextlib.contextmanager
 def phase(name: str):
     """Time one named stage.  Yields a sync callable the caller applies
-    to the stage's result (no-op when collection is off)."""
+    to the stage's result (no-op when collection is off).  Phases whose
+    sync actually blocked on device data are recorded in the
+    collector's ``_synced`` set, so consumers can subtract the per-sync
+    round-trip floor from exactly those."""
     if _COLLECTOR is None:
         yield _noop_sync
         return
+    collector = _COLLECTOR
+
+    def psync(x=None):
+        import jax
+
+        if any(hasattr(l, "block_until_ready") for l in jax.tree.leaves(x)):
+            collector.setdefault("_synced", set()).add(name)
+        return force_sync(x)
+
     t0 = time.perf_counter()
     try:
-        yield force_sync
+        yield psync
     finally:
-        _COLLECTOR[name] = _COLLECTOR.get(name, 0.0) + time.perf_counter() - t0
+        collector[name] = collector.get(name, 0.0) + time.perf_counter() - t0

@@ -1,5 +1,11 @@
 """Compile-probe: does the resident kernel fit gen-ML1M in VMEM?
 
+HISTORICAL (round 2): written against the pre-K-major kernel signature;
+the round-4 resident kernel takes K-major factors and TRANSPOSED A, so
+this script no longer runs as-is.  Its committed conclusions (the
+RESIDENT_VMEM_BUDGET calibration) stand on the old layout and are
+re-validated by the round-4 TPU sweeps.
+
 Chipless AOT compiles only (no device time): Mosaic raises its
 scoped-vmem errors at compile, so this maps the feasible (A dtype,
 strip, vmem limit) space while the chip is busy elsewhere.

@@ -48,9 +48,9 @@ spec = load_problem("tests/fixtures/instML100k.in")
 Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=512)
 print(f"padded U={U} I={I} K={K}; slope over iters {N1}->{N2}", flush=True)
 
-A32 = pd.device_dense_A(spec, U, I, dtype=jnp.float32)
+A32 = pd.device_dense_AT(spec, U, I, dtype=jnp.float32)
 a_dtype = jnp.int8 if pd.vals_int8_exact(spec) else jnp.float32
-A8 = pd.device_dense_A(spec, U, I, dtype=a_dtype)
+A8 = pd.device_dense_AT(spec, U, I, dtype=a_dtype)
 
 
 def wall(fn, iters, rep):
@@ -93,17 +93,18 @@ def train_fn(A, precision, strip=512):
 
 def matmul_only(precision):
     """Three chained dot_generals per iteration, no elementwise update:
-    the MXU+VMEM floor of the resident kernel's per-iteration math."""
+    the MXU+VMEM floor of the resident kernel's per-iteration math
+    (transposed-A orientation, matching the round-4 kernels)."""
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     Rtj = jnp.asarray(Rt)
-    A = A32
+    A = A32  # (I, U) transposed
 
     def body(_, carry):
         Ltc, acc = carry
-        B = jax.lax.dot_general(Ltc, Rtj, (((0,), (0,)), ((), ())), precision=prec)  # U x I
+        B = jax.lax.dot_general(Rtj, Ltc, (((0,), (0,)), ((), ())), precision=prec)  # I x U
         E = A - B
-        dL = jax.lax.dot_general(Rtj, E, (((1,), (1,)), ((), ())), precision=prec)  # k x U
-        dR = jax.lax.dot_general(Ltc, E, (((1,), (0,)), ((), ())), precision=prec)  # k x I
+        dL = jax.lax.dot_general(Rtj, E, (((1,), (0,)), ((), ())), precision=prec)  # k x U
+        dR = jax.lax.dot_general(Ltc, E, (((1,), (1,)), ((), ())), precision=prec)  # k x I
         return Ltc + 1e-20 * dL, acc + dR[:1, :1]
 
     def f(L0, iters):

