@@ -24,43 +24,46 @@ Peak constants (TPU v5e, one chip — the attachment hardware):
            per product (the fused kernels' configuration), so f32 peak
            is modelled at 197/6.  Software-emulated f64 has no
            meaningful peak — dense-f64 rows report no percentage.
-  Gather   the sparse paths' real ceiling is XLA's row-gather engine,
-           NOT HBM bytes: the synthetic probe (probe_gather_rate.py,
-           2026-08-19, idle attachment) measured ~208 M rows/s for f32
-           rows up to 512 B — independent of row width (k32 == k128),
-           dtype (bf16/int8 identical), index order, and duplication —
-           and ~120 M rows/s for f64 rows; only >=256-lane rows raise
-           byte throughput (k512: 102 M rows/s = 209 GB/s).  Production
-           BELL programs measured 192-261 M f32 rows/s across instances
-           and attachment states (probe_bell_floor.py).
-           ROUND-4 REFINEMENT (probe_gather_tablesize.py): the rate is
-           a function of the SOURCE TABLE size — tables that fit the
-           on-chip staging window gather much faster than HBM-resident
-           ones.  Two round-3 rows exceeded 100% of the flat-rate model
-           (gen-inst1000-80000 f32 116.5%, inst600-10000 f64 113.6%)
-           and both gather one side from a sub-100 KB factor table;
-           the per-side model below prices each side by its own table.
+  Gather   the sparse paths' ceiling is XLA's fused gather->reduce
+           pipeline, NOT HBM bytes.  Synthetic standalone gathers
+           plateau at ~208-236 M f32 rows/s / ~120 M f64 rows/s —
+           independent of row width (k8 == k32 == k128), dtype
+           (bf16/int8 identical), index order, duplication AND source-
+           table size, degrading to 21-74 M rows/s for >=33 MB tables
+           with random indices (probe_gather_rate.py,
+           probe_gather_tablesize.py; round 4 tested the table-size
+           and locality hypotheses for the two >100% round-3 rows and
+           DISPROVED both) — yet production BELL programs sustain up
+           to 413 M f32 rows/s: the fused pipeline beats every
+           standalone form.  The ceilings below are therefore the best
+           sustained production observation per dtype (calibrated by
+           scripts/calibrate_gather_ceiling.py) — a convention that
+           nothing measured exceeds, making the column a regression
+           detector rather than absolute hardware truth.
            In-kernel alternatives are unavailable: Mosaic cannot lower
            vector gathers (probe_mosaic_gather.py P1-P3 repro) and f64
            bitcast_convert_type crashes this toolchain's compiler, so
-           the engine rate IS the sparse-path roofline.
+           the fused-pipeline rate IS the sparse-path roofline.
 """
 
 from __future__ import annotations
 
 HBM_GBPS = 819.0
 MXU_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 6.0}
-# HBM-resident-table engine rates (best sustained observation; see
-# module docstring).  Used for tables larger than SMALL_TABLE_BYTES.
-GATHER_ROWS_PER_S = {"float32": 260e6, "bfloat16": 260e6, "float64": 120e6}
-# Small-source-table rates (probe_gather_tablesize.py): calibrated in
-# round 4; see scripts/probe_gather_tablesize.py and the committed
-# bench_logs/r4_probe_tablesize_*.log.  Provisional until the probe
-# log lands: sized so the two >100% round-3 rows (which imply >=303 M
-# f32 rows/s and >=136 M f64 rows/s sustained through one small-table
-# side) sit below their side-decomposed roofline.
-SMALL_TABLE_BYTES = 512 << 10
-SMALL_TABLE_ROWS_PER_S = {"float32": 520e6, "bfloat16": 520e6, "float64": 240e6}
+# Gather ceilings = the FASTEST SUSTAINED PRODUCTION OBSERVATION per
+# dtype (+~2% headroom), derived from the committed bench rows by
+# scripts/calibrate_gather_ceiling.py (round 4: gen-inst20000-10000
+# f32 trained at 413 M rows/s; instML100k f64 at 126 M).  This is a
+# CONVENTION, not physics: synthetic standalone gathers plateau at
+# ~210-236 M f32 rows/s regardless of row width (k8 == k32 == k128),
+# index order, duplication or table size, and DEGRADE to 21-74 M
+# rows/s for >=33 MB tables with random indices
+# (probe_gather_rate.py, probe_gather_tablesize.py + committed
+# r4_probe_* logs) — yet XLA's fused gather->reduce pipelines beat
+# every standalone form, so "rows over the best fused rate" is the
+# only ceiling nothing measured exceeds.  Re-run the calibration
+# script after sweeps and bump these if a new row beats them.
+GATHER_ROWS_PER_S = {"float32": 420e6, "bfloat16": 420e6, "float64": 130e6}
 GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
 
 
@@ -68,37 +71,34 @@ def gather_row_seconds(
     k: int,
     dtype: str,
     side_slots: int | None = None,
-    table_rows: int | None = None,
     allow_split: bool = True,
 ) -> float:
-    """Seconds per gathered row for ONE side: the engine's row rate —
-    stepped up when the side's source table is small enough to stage
-    on-chip (``table_rows`` rows of the opposite factor table) — capped
-    by the wide-row byte rate once padded rows exceed ~1 KB (all
-    measured; probe_gather_rate.py, probe_gather_tablesize.py).  Row
-    bytes use the 128-lane padded width the sparse paths actually
-    gather.  f64 rows that the engine splits (ops/bell.py
-    _use_split_gather: 3k <= 64 always, 3k <= 128 when the side's
-    unsplit set is chunked) gather their exact 3xf32 split form — one
-    f32 row per slot at the f32 rates; ``allow_split=False`` prices
-    paths that never split (the COO formulation)."""
+    """Seconds per gathered row for ONE side: the calibrated fused-
+    pipeline row rate, capped by the wide-row byte rate once rows
+    approach ~2 KB (probe_gather_rate.py: k512 f32 measured 102 M
+    rows/s = 209 GB/s).  Row bytes are the TRUE k*es width — a fused
+    gather->reduce consumes real lanes only; pricing the 128-lane
+    padded width put gen-inst20000-10000 f32 (k=40, measured 212 GB/s
+    of padded-equivalent traffic) over 100%.  f64 rows that the engine
+    splits (ops/bell.py _use_split_gather: 3k <= 64 always, 3k <= 128
+    when the side's unsplit set is chunked) gather their exact 3xf32
+    split form — one f32 row per slot at the f32 rate;
+    ``allow_split=False`` prices paths that never split (the COO
+    formulation)."""
     from recsys_tpu.ops.bell import _use_split_gather
 
     es = 8 if dtype == "float64" else (2 if dtype == "bfloat16" else 4)
-    kp = -(-k // 128) * 128
+    kw = k
     rate_dtype = dtype
     if (
         allow_split
         and dtype == "float64"
         and _use_split_gather("float64", k, side_slots)
     ):
-        es, kp = 4, -(-(3 * k) // 128) * 128
+        es, kw = 4, 3 * k
         rate_dtype = "float32"
-    table = GATHER_ROWS_PER_S
-    if table_rows is not None and table_rows * k * es <= SMALL_TABLE_BYTES:
-        table = SMALL_TABLE_ROWS_PER_S
-    rate = table.get(rate_dtype, table["float32"])
-    return max(1.0 / rate, kp * es / (GATHER_BYTES_GBPS * 1e9))
+    rate = GATHER_ROWS_PER_S.get(rate_dtype, GATHER_ROWS_PER_S["float32"])
+    return max(1.0 / rate, kw * es / (GATHER_BYTES_GBPS * 1e9))
 
 
 def train_cost_model(spec, cfg, path: str):
@@ -108,21 +108,21 @@ def train_cost_model(spec, cfg, path: str):
     es = 8 if cfg.dtype == "float64" else (2 if cfg.dtype == "bfloat16" else 4)
     k = spec.features
     if path == "bell":
-        # Gather-engine-bound (measured, probe_gather_rate.py — NOT HBM
-        # bytes: the engine delivers ~208 M f32 rows/s regardless of row
-        # width, ~1/7 of what the HBM byte model would predict for k<=128).
-        # Each side's fused gather-reduce fetches the OPPOSITE side's
-        # factor rows once per occupied slot, so the sides are priced
-        # independently: slot count, split gate, and source-table size
-        # are all per-side (the sides can be extremely asymmetric —
-        # gen-inst1000-80000's i-side reads a 1001-row table while its
-        # u-side reads an 80001-row one).
+        # Fused-gather-pipeline-bound (see module docstring — NOT HBM
+        # bytes: the pipeline moves rows ~1/3 of what the HBM byte
+        # model would predict for k<=128).  Each side's fused
+        # gather-reduce fetches the OPPOSITE side's factor rows once
+        # per occupied slot, so the sides are priced independently:
+        # slot count and the f64 split gate are per-side (the sides
+        # can be extremely asymmetric — gen-inst1000-80000 has 537k
+        # u-side vs 509k i-side slots in buckets of very different
+        # shapes).
         from recsys_tpu.ops.bell import bell_side_slots
 
         su, si = bell_side_slots(spec)
-        per_iter = su * gather_row_seconds(
-            k, cfg.dtype, su, table_rows=spec.items + 1
-        ) + si * gather_row_seconds(k, cfg.dtype, si, table_rows=spec.users + 1)
+        per_iter = su * gather_row_seconds(k, cfg.dtype, su) + si * gather_row_seconds(
+            k, cfg.dtype, si
+        )
         return "gather", per_iter
     if path == "coo":
         # Gather-engine-bound: two k-row gathers per entry per side
@@ -130,8 +130,8 @@ def train_cost_model(spec, cfg, path: str):
         # write traffic is a second-order term at the engine's row
         # rate).  The COO formulation never splits f64 tables.
         per_iter = 2.0 * spec.nnz * (
-            gather_row_seconds(k, cfg.dtype, table_rows=spec.users, allow_split=False)
-            + gather_row_seconds(k, cfg.dtype, table_rows=spec.items, allow_split=False)
+            gather_row_seconds(k, cfg.dtype, allow_split=False)
+            + gather_row_seconds(k, cfg.dtype, allow_split=False)
         )
         return "gather", per_iter
     if path in ("pallas", "dense"):
