@@ -318,6 +318,11 @@ def format_markdown(rows: list[dict]) -> str:
         "- Scaling (comm-volume model, projected ICI efficiency, CPU-mesh",
         "  measurements): spliced in below from docs/SCALING.md (regenerate",
         "  with `python -m recsys_tpu.bench.scaling`).",
+        "- gen-inst60000-2000 exact-f64 (k=200) faulted the remote TPU worker",
+        "  on five distinct HLOs across three rounds (every >=64 MB gather",
+        "  piece size); the shipped 32 MB wide-f64 piece cap",
+        "  (ops/bell.py::WIDE_F64_CHUNK_BYTES) is the isolated fix — its row",
+        "  above is byte-exact on TPU and beats the reference's MPI-64 best.",
         "- Measurement provenance: rows are dedicated-process measurements",
         "  (min over repeats after a warm-up compile) through a REMOTE TPU",
         "  attachment whose fixed per-run overhead (upload + dispatch round",

@@ -315,11 +315,26 @@ CHUNK_GRAIN_BYTES = _CHUNK_ENV if _CHUNK_ENV else (64 << 20)
 CHUNK_MAX_PIECES = 16
 
 
-def _chunk_grain(set_bytes: int) -> int:
+# Wide-f64-row piece cap: every exact-f64 HLO for gen-inst60000-2000
+# (k=200 -> 1600 B gathered rows) with >=64 MB pieces faulted the
+# remote TPU worker — 5 reproductions across grains (64/90/128/512 MB),
+# days, and attachment generations — while the same program at 32 MB
+# pieces runs byte-exact at 10.2 s (bench_logs/r4_tpu_60000_f64_
+# grain32.log; the f32 form of the same shape is unaffected at any
+# grain).  Cap wide-f64 sides at the proven-good piece size.
+WIDE_F64_ROW_BYTES = 1024
+WIDE_F64_CHUNK_BYTES = 32 << 20
+
+
+def _chunk_grain(set_bytes: int, row_bytes: int = 0, f64: bool = False) -> int:
     """Piece size for a gathered set of ``set_bytes``: the fuse-friendly
     64 MB grain, growing once a set would exceed CHUNK_MAX_PIECES pieces,
-    capped by the 512 MB staging guard."""
-    return min(CHUNK_BYTES, max(CHUNK_GRAIN_BYTES, set_bytes // CHUNK_MAX_PIECES))
+    capped by the 512 MB staging guard — and by the wide-f64-row worker-
+    fault cap (see WIDE_F64_ROW_BYTES above)."""
+    grain = min(CHUNK_BYTES, max(CHUNK_GRAIN_BYTES, set_bytes // CHUNK_MAX_PIECES))
+    if f64 and row_bytes >= WIDE_F64_ROW_BYTES and not _CHUNK_ENV:
+        grain = min(grain, WIDE_F64_CHUNK_BYTES)
+    return grain
 
 # The gathered row set is consumed twice (prediction, then gradient);
 # a single gather therefore materializes as an HLO temp padded to the
@@ -503,7 +518,9 @@ def _delta_side(F_own, F_other, cols_flat, vals_t, bounds, alpha2):
     # every bucket and chunk then gathers from the f32 form.
     F_g = _split3_f32(F_other) if split else F_other
     row_bytes = F_g.shape[1] * F_g.dtype.itemsize + (k * 8 if split else 0)
-    grain = _chunk_grain(S * row_bytes)
+    grain = _chunk_grain(
+        S * row_bytes, row_bytes=row_bytes, f64=jnp.dtype(F_other.dtype) == jnp.float64
+    )
     parts = []
     off = 0
     g_flat = None

@@ -213,6 +213,11 @@ def test_chunk_grain_bounds():
     assert g(big) == bell_mod.CHUNK_BYTES
     mid = 32 * bell_mod.CHUNK_GRAIN_BYTES
     assert g(mid) == mid // bell_mod.CHUNK_MAX_PIECES
+    # Wide-f64-row cap: k=200 f64 rows (1600 B) faulted the TPU worker
+    # at every >=64 MB piece size; 32 MB is the proven-good grain.
+    assert g(mid, row_bytes=1600, f64=True) == bell_mod.WIDE_F64_CHUNK_BYTES
+    assert g(mid, row_bytes=1600, f64=False) == mid // bell_mod.CHUNK_MAX_PIECES
+    assert g(mid, row_bytes=240, f64=True) == mid // bell_mod.CHUNK_MAX_PIECES
 
 
 def test_regather_disabled_for_f64():
