@@ -104,8 +104,10 @@ def _inner():
 
     # Last-resort in-process watchdog for direct (non-orchestrated)
     # invocations; the orchestrator's subprocess timeout fires first.
+    # One child performs EITHER the accelerator attempt OR the CPU
+    # fallback, so its budget is the larger of the two, not the sum.
     def _suicide():
-        time.sleep(WATCHDOG_SECS + CPU_BUDGET_SECS + 60)
+        time.sleep(max(WATCHDOG_SECS, CPU_BUDGET_SECS) + 60)
         print("bench.py inner watchdog: no result — exiting", file=sys.stderr, flush=True)
         os._exit(2)
 
@@ -211,6 +213,16 @@ def main():
         # Local backend (CPU or directly-attached device): nothing can
         # hang on a dead relay; measure in-process.
         return _inner()
+    def _has_row(out: str) -> bool:
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return "metric" in json.loads(line)
+                except ValueError:
+                    continue
+        return False
+
     reason = None
     if not _backend_alive():
         reason = "relay_ports_refused"
@@ -222,7 +234,10 @@ def main():
         )
     else:
         rc, out = _run_child({}, WATCHDOG_SECS)
-        if rc == 0 and out.strip():
+        # A complete row is a valid measurement even if the child then
+        # wedged during interpreter shutdown (the documented attachment-
+        # exit hang) or exited nonzero — never discard it for a CPU row.
+        if out.strip() and _has_row(out):
             sys.stdout.write(out)
             return 0
         reason = "watchdog" if rc is None else f"inner_rc_{rc}"

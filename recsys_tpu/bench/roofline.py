@@ -129,10 +129,7 @@ def train_cost_model(spec, cfg, path: str):
         # (L[row], R[col] for the prediction; the segment reduction's
         # write traffic is a second-order term at the engine's row
         # rate).  The COO formulation never splits f64 tables.
-        per_iter = 2.0 * spec.nnz * (
-            gather_row_seconds(k, cfg.dtype, allow_split=False)
-            + gather_row_seconds(k, cfg.dtype, allow_split=False)
-        )
+        per_iter = 4.0 * spec.nnz * gather_row_seconds(k, cfg.dtype, allow_split=False)
         return "gather", per_iter
     if path in ("pallas", "dense"):
         if cfg.dtype == "float64":

@@ -269,13 +269,9 @@ def where_80_section(fixture_dir: str, chips=(2, 4, 8, 16, 32)):
         ("inst50000-5000-100-2-5", None),
     ]:
         base = name.split(" @")[0]
-        path_in = os.path.join(fixture_dir, f"{base}.in")
-        if not os.path.exists(path_in):
-            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+        from recsys_tpu.io.generator import ensure_fixture
 
-            if base in GEN_SPECS:
-                materialize_gen_fixture(base, fixture_dir)
-        spec = load_problem(path_in)
+        spec = load_problem(ensure_fixture(base, fixture_dir))
         if mutate:
             spec = mutate(spec)
         cfg = RunConfig(dtype="float32")
@@ -355,13 +351,9 @@ def main(argv=None):
     fixtures = os.path.join(here, "tests", "fixtures")
 
     def one_section(name):
-        path_in = os.path.join(fixtures, f"{name}.in")
-        if not os.path.exists(path_in):
-            from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+        from recsys_tpu.io.generator import ensure_fixture
 
-            if name in GEN_SPECS:
-                materialize_gen_fixture(name, fixtures)
-        spec = load_problem(path_in)
+        spec = load_problem(ensure_fixture(name, fixtures))
         cfg = RunConfig(dtype=args.dtype)
         path = trainer.choose_path(spec, cfg, allow_host=False)
         mspec = dataclasses.replace(spec, iters=args.iters)

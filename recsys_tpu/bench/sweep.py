@@ -143,15 +143,25 @@ def run_instance(name: str, dtype: str, repeats: int):
     # 10000-iteration small-instance train phase reads 2x its true
     # steady-state time.
     ph: dict = {}
-    synced: set = set()
+    sync_counts: dict = {}
     for _ in range(2):
         p: dict = {}
         with collect_phases(p):
             trainer.run(spec, cfg)
-        synced |= p.pop("_synced", set())
+        p.pop("_synced", set())
+        for k, v in p.pop("_sync_counts", {}).items():
+            sync_counts[k] = max(v, sync_counts.get(k, 0))
         ph = {k: min(v, ph.get(k, v)) for k, v in p.items()}
-    floor = sync_floor_seconds() if synced else 0.0
-    ph = {k: max(v - floor, 0.0) if k in synced else v for k, v in ph.items()}
+    # Host-routed instances sync host-resident arrays (no relay round
+    # trip), so the TPU-measured floor must not be subtracted there.
+    host_routed = (
+        trainer.choose_path(spec, cfg) == "host"
+        or trainer._sub_mxu_host_device(spec, cfg) is not None
+    )
+    floor = sync_floor_seconds() if sync_counts and not host_routed else 0.0
+    ph = {
+        k: max(v - floor * sync_counts.get(k, 0), 0.0) for k, v in ph.items()
+    }
     train_s = ph.get("train")
     # XLA's per-program memory analysis, not runtime memory_stats: the
     # runtime figure is a process-lifetime high-water mark that would
@@ -258,8 +268,9 @@ def format_markdown(rows: list[dict]) -> str:
         traincol = "-" if train is None else f"{train:g}"
         pit = r.get("per_iter_ms")
         pitcol = "-" if pit is None else f"{pit:g}"
+        pathcol = r["path"] + (" (cpu)" if r.get("backend") == "cpu" else "")
         lines.append(
-            f"| {r['instance']} | {r['dtype']} | {r['path']} | {r['wall_s']} | "
+            f"| {r['instance']} | {r['dtype']} | {pathcol} | {r['wall_s']} | "
             f"{traincol} | {pitcol} | "
             f"{r['updates_per_s']:.3g} | {vs_serial} | {vs_best} | {gold} | {rlcol} | {memcol} |"
         )
@@ -359,10 +370,23 @@ def main(argv=None):
 
     if args.render:
         rows = [json.loads(l) for l in open(args.render) if l.strip()]
-        # Keep the latest row per (instance, dtype): refreshed runs append.
+        # Keep the latest row per (instance, dtype): refreshed runs
+        # append.  The table is headlined "(1 TPU chip)", so a CPU-
+        # backend row (fallback measurements; rows without a backend
+        # field predate it and are all accelerator rows) never
+        # displaces an accelerator row — it renders only when it is
+        # the sole measurement, labeled via the path column.
         latest = {}
         for r in rows:
-            latest[(r["instance"], r["dtype"])] = r
+            key = (r["instance"], r["dtype"])
+            cur = latest.get(key)
+            if (
+                cur is not None
+                and r.get("backend") == "cpu"
+                and cur.get("backend") != "cpu"
+            ):
+                continue
+            latest[key] = r
         rows = list(latest.values())
         _recompute_roofline(rows)
         md = format_markdown(rows)
@@ -391,14 +415,10 @@ def main(argv=None):
     names = args.instances.split(",") if args.instances else DEFAULT_INSTANCES
     # Materialize regenerable gen-* fixtures FIRST: the f64 feasibility
     # filter below reads the .in files.
-    from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+    from recsys_tpu.io.generator import ensure_fixture
 
     for name in names:
-        if name in GEN_SPECS and not os.path.exists(
-            os.path.join(_fixture_dir(), f"{name}.in")
-        ):
-            print(f"materializing {name}.in from GEN_SPECS", file=sys.stderr)
-            materialize_gen_fixture(name, _fixture_dir())
+        ensure_fixture(name, _fixture_dir())
     if args.dtype == "float64":
         names = [n for n in names if _f64_feasible(n, args.f64_cell_limit)]
     rows = []
@@ -448,16 +468,17 @@ def _recompute_roofline(rows: list[dict]) -> None:
 
     specs: dict = {}
     for r in rows:
+        if r.get("backend") == "cpu":
+            # The ceilings are TPU observations; a CPU-backend fallback
+            # row gets no percentage rather than a nonsense one.
+            r["roofline_model"], r["pct_roofline"] = None, None
+            continue
         name = r["instance"]
         if name not in specs:
-            path = os.path.join(_fixture_dir(), f"{name}.in")
-            if not os.path.exists(path):
-                from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+            from recsys_tpu.io.generator import ensure_fixture
 
-                if name in GEN_SPECS:
-                    materialize_gen_fixture(name, _fixture_dir())
             try:
-                specs[name] = load_problem(path)
+                specs[name] = load_problem(ensure_fixture(name, _fixture_dir()))
             except OSError:
                 specs[name] = None
         spec = specs[name]

@@ -459,7 +459,17 @@ def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
       tables or streamed blocks exceed VMEM.
     """
     strip = 512
+    u128 = -(-spec.users // 128) * 128
     for cand in pallas_dense.strip_candidates(spec):
+        # Error-tile cap: a giant single strip makes Mosaic materialize
+        # several (strip, U) f32 temporaries at once (inst600-10000's
+        # 25.9 MB single-strip tile compiled to 145 MB of VMEM — over
+        # the 128 MB physical ceiling — while its 2-strip form fits),
+        # so candidates whose tile exceeds the cap are skipped and the
+        # shape falls through to more/smaller strips or the streamed
+        # grid (one tile in flight).
+        if 4 * u128 * cand > pallas_dense.ETILE_CAP_BYTES:
+            continue
         a_dtype = _resident_a_dtype(spec, cand, fused_top1)
         if a_dtype is not None:
             return "resident", a_dtype, cand

@@ -113,6 +113,21 @@ def materialize_gen_fixture(name: str, fixtures_dir) -> str:
     return path
 
 
+def ensure_fixture(name: str, fixtures_dir) -> str:
+    """Path to ``<fixtures_dir>/<name>.in``, materializing a regenerable
+    gen-* fixture on first use.  Unlike ``materialize_gen_fixture`` this
+    accepts ANY instance name: non-gen names just resolve to their path
+    (which the caller may find absent).  The one helper behind every
+    "load this fixture, generating it if needed" site (sweep render,
+    scaling sections, ceiling calibration)."""
+    import os
+
+    path = os.path.join(str(fixtures_dir), f"{name}.in")
+    if not os.path.exists(path) and name in GEN_SPECS:
+        materialize_gen_fixture(name, fixtures_dir)
+    return path
+
+
 def parse_instance_name(name: str):
     """'inst<u>-<i>-<k>-<min>-<max>' -> dims tuple (ValueError otherwise)."""
     if not name.startswith("inst"):

@@ -454,6 +454,13 @@ def stream_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
 # budget (the estimate undercounts Mosaic temporaries ~1.4-1.6x).
 STREAM_VMEM_BUDGET = 64 << 20
 
+# Max (strip, U) f32 error-tile size a resident strip candidate may
+# carry: Mosaic keeps several tile-sized temporaries live per strip
+# (measured: a 25.9 MB single-strip tile compiled to 145 MB VMEM and
+# failed; 2x 12.9 MB strips fit), so the plan skips candidates above
+# this and prefers more, smaller strips.
+ETILE_CAP_BYTES = 16 << 20
+
 
 def stream_fits(spec, strip: int = 512, a_bytes: int = 4) -> bool:
     return stream_vmem_bytes(spec, strip=strip, a_bytes=a_bytes) <= STREAM_VMEM_BUDGET
@@ -804,7 +811,7 @@ def resident_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
     I = _round_up(spec.items, strip)
     K = _round_up(spec.features, 8)
     n_strips = max(I // strip, 1)
-    live = min(n_strips, 4) if n_strips <= 4 else 1  # fori branch: one live
+    live = n_strips if n_strips <= 4 else 1  # fori branch: one live tile
     return a_bytes * U * I + 4 * (2 * U * K + 2 * I * K + live * U * strip)
 
 

@@ -308,6 +308,17 @@ def dryrun(n_devices: int) -> None:
     from recsys_tpu.engine import trainer
     from recsys_tpu.engine.oracle import top1_numpy
 
+    # Tolerances are backend-aware: on the CPU mesh (the driver's
+    # configuration) f32 dots are true f32 and argmaxes are stable, so
+    # the bounds are tight; on real TPU hardware the sharded step's
+    # default-precision matmuls run as single-pass bf16 (~1e-2
+    # relative) and near-tie argmaxes can legitimately flip — a
+    # systematic sharding bug (lost psum, off-by-one block,
+    # double-counted base) is orders of magnitude above either bound.
+    on_tpu = jax.default_backend() == "tpu"
+    rtol, atol = (2e-2, 1e-3) if on_tpu else (3e-4, 1e-5)
+    min_top1_agree = 0.95 if on_tpu else 1.0
+
     spec2 = generate_instance(200, 300, 8, 1, 6, iters=5, alpha=0.02, seed=11)
     ref = trainer.factorize(spec2, RunConfig(dtype="float32", path="coo"))
     refL = np.asarray(ref.L)[: spec2.users, : spec2.features]
@@ -316,24 +327,22 @@ def dryrun(n_devices: int) -> None:
         state, _ = factorize_sharded(spec2, RunConfig(dtype="float32", path=path), mesh=mesh)
         L = np.asarray(state.L)[: spec2.users, : spec2.features]
         R = np.asarray(state.R)[: spec2.items, : spec2.features]
-        # f32 reassociation differs per formulation; systematic sharding
-        # bugs (lost psum, off-by-one block, double-counted base) are
-        # orders of magnitude above this tolerance.
         np.testing.assert_allclose(
-            L, refL, rtol=3e-4, atol=1e-5,
+            L, refL, rtol=rtol, atol=atol,
             err_msg=f"sharded {path}: L drifted from the single-chip engine",
         )
         np.testing.assert_allclose(
-            R, refR, rtol=3e-4, atol=1e-5,
+            R, refR, rtol=rtol, atol=atol,
             err_msg=f"sharded {path}: R drifted from the single-chip engine",
         )
         top1 = recommend_sharded(state, spec2, mesh)
         exp = top1_numpy(L.astype(np.float64), R.astype(np.float64), spec2)
-        if (top1 != exp).any():
-            bad = int((top1 != exp).sum())
+        agree = float((top1 == exp).mean())
+        if agree < min_top1_agree:
             raise AssertionError(
-                f"sharded top-1 ({path}, rated-table branch): {bad}/{spec2.users} "
-                "users disagree with the numpy oracle on the same factors"
+                f"sharded top-1 ({path}, rated-table branch): agreement "
+                f"{agree:.3f} with the numpy oracle on the same factors "
+                f"(floor {min_top1_agree})"
             )
 
     # Hub instance: user 0 rates 2/3 of the item space, pushing
@@ -359,7 +368,9 @@ def dryrun(n_devices: int) -> None:
     R = np.asarray(state.R)[: spec3.items, : spec3.features]
     top1 = recommend_sharded(state, spec3, mesh)
     exp = top1_numpy(L.astype(np.float64), R.astype(np.float64), spec3)
-    if (top1 != exp).any():
+    agree = float((top1 == exp).mean())
+    if agree < min_top1_agree:
         raise AssertionError(
-            "sharded top-1 (dense-mask branch) disagrees with the numpy oracle"
+            f"sharded top-1 (dense-mask branch): agreement {agree:.3f} "
+            f"with the numpy oracle (floor {min_top1_agree})"
         )

@@ -72,7 +72,11 @@ def force_sync(x=None):
     import jax.numpy as jnp
     import numpy as np
 
-    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "block_until_ready")]
+    leaves = [
+        l
+        for l in jax.tree.leaves(x)
+        if hasattr(l, "block_until_ready") and getattr(l, "size", 1)
+    ]
     if not leaves:
         return x
     acc = None
@@ -129,6 +133,8 @@ def phase(name: str):
 
         if any(hasattr(l, "block_until_ready") for l in jax.tree.leaves(x)):
             collector.setdefault("_synced", set()).add(name)
+            counts = collector.setdefault("_sync_counts", {})
+            counts[name] = counts.get(name, 0) + 1
         return force_sync(x)
 
     t0 = time.perf_counter()

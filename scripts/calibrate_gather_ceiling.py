@@ -53,12 +53,9 @@ def main():
             continue
         wall = r.get("train_s") or r["wall_s"]
         if name not in specs:
-            fp = os.path.join(FIXTURES, f"{name}.in")
-            if not os.path.exists(fp):
-                from recsys_tpu.io.generator import GEN_SPECS, materialize_gen_fixture
+            from recsys_tpu.io.generator import ensure_fixture
 
-                if name in GEN_SPECS:
-                    materialize_gen_fixture(name, FIXTURES)
+            fp = ensure_fixture(name, FIXTURES)
             specs[name] = load_problem(fp) if os.path.exists(fp) else None
         spec = specs[name]
         if spec is None:
