@@ -207,6 +207,68 @@ void rs_serial_gd(long iters, double alpha, long k, long users, long items,
 }
 
 /* ------------------------------------------------------------------ */
+/* BELL side-table builder (host data-loader fast path)               */
+/* ------------------------------------------------------------------ */
+
+/* Fill one BELL side's flat tables in a single pass over the entries.
+ *
+ * The numpy builder (ops/bell.py::_side_tables) re-scans the full entry
+ * array once PER BUCKET (sel = (own_s >= b0) & (own_s < b1)) after a
+ * stable O(nnz log nnz) sort; this routine exploits the same invariant
+ * it relies on — entries arrive in file order, i.e. row-major with
+ * ascending columns within a row — to assign every entry its (bucket,
+ * slot, column) in one O(nnz + slots + dim) pass, producing BIT-
+ * IDENTICAL tables (same slot order per row: arrival order).
+ *
+ * Layout contract (must match _side_tables exactly): bucket b with
+ * rows [b0, b1) and width w stores a row-major (w, n=b1-b0) table of
+ * int32 opposite-side indices and one of values; the per-bucket tables
+ * are concatenated flat in bucket order.  Padding slots carry index
+ * ``other_dim`` (the appended zero factor row) and value 0.
+ *
+ * own/other: the entry coordinates (original id space); inv_own /
+ * inv_other: permuted position per original id; b0/b1/w/base: bucket
+ * bounds, widths and flat base offsets (base[b] = sum of earlier
+ * buckets' w*n); slot_next: (dim,) zeroed scratch; bkt_of: (dim,)
+ * scratch.  vals_flat is float32 or float64 per vals_f64 (the bf16
+ * table path stays on numpy).  total = base[nb-1] + w*n of the last
+ * bucket.  Returns 0, or -1 if an entry addresses a row outside every
+ * bucket (impossible for valid input: every nonzero-degree row is
+ * bucketed).                                                          */
+long rs_bell_side(long nnz, const int32_t *own, const int32_t *other,
+                  const double *vals,
+                  const int32_t *inv_own, const int32_t *inv_other,
+                  long dim, long other_dim, long total,
+                  long nb, const int64_t *b0, const int64_t *b1,
+                  const int64_t *base,
+                  int32_t *cols_flat, void *vals_flat, int vals_f64,
+                  int32_t *slot_next, int32_t *bkt_of) {
+    for (long x = 0; x < total; ++x) cols_flat[x] = (int32_t)other_dim;
+    if (vals_f64) {
+        double *vf = (double *)vals_flat;
+        for (long x = 0; x < total; ++x) vf[x] = 0.0;
+    } else {
+        float *vf = (float *)vals_flat;
+        for (long x = 0; x < total; ++x) vf[x] = 0.0f;
+    }
+    for (long x = 0; x < dim; ++x) bkt_of[x] = -1;
+    for (long b = 0; b < nb; ++b)
+        for (int64_t p = b0[b]; p < b1[b]; ++p) bkt_of[p] = (int32_t)b;
+    for (long e = 0; e < nnz; ++e) {
+        long p = inv_own[own[e]];
+        long b = bkt_of[p];
+        if (b < 0) return -1;
+        long n = (long)(b1[b] - b0[b]);
+        long s = slot_next[p]++;
+        long off = base[b] + s * n + (p - b0[b]);
+        cols_flat[off] = inv_other[other[e]];
+        if (vals_f64) ((double *)vals_flat)[off] = vals[e];
+        else ((float *)vals_flat)[off] = (float)vals[e];
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* .in writer (fixture generation fast path)                          */
 /* ------------------------------------------------------------------ */
 

@@ -156,6 +156,24 @@ def _side_tables(counts: np.ndarray, perm: np.ndarray, inv: np.ndarray,
     bounds = _degree_buckets(sorted_counts)
     n_nz = bounds[-1][1] if bounds else 0
 
+    # Native single-pass builder (native/recsys_native.c::rs_bell_side):
+    # bit-identical tables in O(nnz + slots) — the numpy fallback below
+    # pays a stable O(nnz log nnz) sort plus one full-entry scan PER
+    # bucket.  Falls back for bf16 tables or a missing toolchain.
+    from recsys_tpu.io import _native
+
+    nat = _native.bell_side_tables(
+        own, other, vals, inv, inv_other, other_dim, bounds, dtype
+    )
+    if nat is not None:
+        cols_flat, vals_flat = nat
+        vals_t, off = [], 0
+        for (b0, b1, w) in bounds:
+            n = b1 - b0
+            vals_t.append(vals_flat[off : off + w * n].reshape(w, n))
+            off += w * n
+        return tuple(bounds), n_nz, cols_flat, tuple(vals_t)
+
     # entries sorted by (permuted own, original other-order) — the
     # within-row order stays the file's ascending-column order because
     # the sort below is stable over an already row-major stream.

@@ -249,6 +249,34 @@ def test_split3_roundtrip_bit_exact():
     np.testing.assert_array_equal(got, xs)
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_native_side_tables_bit_identical(dtype):
+    """The native single-pass table builder (rs_bell_side) must produce
+    byte-identical tables to the numpy sort-and-scan fallback on every
+    side of a lumpy instance."""
+    from recsys_tpu.io import _native
+    from recsys_tpu.ops import bell as bell_mod
+
+    if not _native.available():
+        pytest.skip("no native toolchain")
+    spec = generate_instance(150, 700, 12, 1, 60, iters=1, alpha=0.01, seed=17)
+    a = bell_mod.make_bell_inputs(spec, dtype=dtype)
+    # Force the numpy fallback by masking the native builder.
+    orig = _native.bell_side_tables
+    _native.bell_side_tables = lambda *a_, **k_: None
+    try:
+        b = bell_mod.make_bell_inputs(spec, dtype=dtype)
+    finally:
+        _native.bell_side_tables = orig
+    assert a.meta == b.meta
+    np.testing.assert_array_equal(a.tables.ucols, b.tables.ucols)
+    np.testing.assert_array_equal(a.tables.irows, b.tables.irows)
+    for x, y in zip(a.tables.uvals, b.tables.uvals):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(a.tables.ivals, b.tables.ivals):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_split2_is_not_exact():
     """Why there is no 2xf32 split tier (VERDICT r3 #3 asked): the
     residual x - f32(x) of a full-precision f64 carries up to 29

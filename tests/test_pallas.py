@@ -261,6 +261,31 @@ def test_stream_top1_tie_break_lowest_index():
     np.testing.assert_array_equal(np.asarray(top1)[0, :], np.zeros(U, np.int32))
 
 
+def test_strip_candidates_lane_aligned():
+    """Strips must be 128-lane multiples (the Rt slice is a lane-dim
+    slice; sublane-granular strips measured slower and crashed the
+    remote compiler) — at most 4 per instance, ranked by item padding,
+    and the error-tile cap keeps giant single strips out of the plan."""
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.ops.pallas_dense import ETILE_CAP_BYTES, strip_candidates
+
+    for users, items in [(943, 1682), (6040, 3952), (600, 10000), (3, 5)]:
+        spec = generate_instance(users, items, 8, 1, 3, iters=1, alpha=0.01, seed=2)
+        cands = strip_candidates(spec)
+        assert 1 <= len(cands) <= 4
+        for c in cands:
+            assert c % 128 == 0 and c >= 128
+        # Best candidate pads least: padding never exceeds 4*128 lanes
+        # beyond the 128-rounded item count.
+        best = cands[0]
+        n = -(-(-(-items // 128) * 128) // best)
+        assert n * best - items < 128 * 4 + 128
+        kind, _, strip = trainer._pallas_plan(spec)
+        if kind == "resident":
+            u128 = -(-spec.users // 128) * 128
+            assert 4 * u128 * strip <= ETILE_CAP_BYTES
+
+
 def test_pallas_plan_dispatch():
     """_pallas_plan: small few-strip instances stay on the resident
     kernel; many-strip / big-A instances stream; factor tables beyond
