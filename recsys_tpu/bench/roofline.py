@@ -53,7 +53,8 @@ MXU_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 6.0}
 # Gather ceilings = the FASTEST SUSTAINED PRODUCTION OBSERVATION per
 # dtype (+~2% headroom), derived from the committed bench rows by
 # scripts/calibrate_gather_ceiling.py (round 4: gen-inst20000-10000
-# f32 trained at 413 M rows/s; instML100k f64 at 126 M).  This is a
+# f32 trained at 413 M rows/s; inst1000-1000 f64 at 136 M after the
+# merge-by-rows bucketing).  This is a
 # CONVENTION, not physics: synthetic standalone gathers plateau at
 # ~210-236 M f32 rows/s regardless of row width (k8 == k32 == k128),
 # index order, duplication or table size, and DEGRADE to 21-74 M
@@ -63,7 +64,7 @@ MXU_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 6.0}
 # every standalone form, so "rows over the best fused rate" is the
 # only ceiling nothing measured exceeds.  Re-run the calibration
 # script after sweeps and bump these if a new row beats them.
-GATHER_ROWS_PER_S = {"float32": 420e6, "bfloat16": 420e6, "float64": 130e6}
+GATHER_ROWS_PER_S = {"float32": 420e6, "bfloat16": 420e6, "float64": 140e6}
 GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
 
 

@@ -108,11 +108,29 @@ class BellData(NamedTuple):
 # the padding saved no longer pays for the op overhead.
 MIN_BUCKET_ROWS = 64
 
+# Small-side regime (round 4, scripts/probe_bucket_merge.py): each
+# bucket's fused gather-reduce chain carries fixed per-iteration
+# overhead on the TPU which DOMINATES sides whose gathered slots are
+# few (inst500-500 f64: 0.31 ms/iter at 17 buckets where the slot
+# model says 0.13).  Measured on that instance, per-process A/B:
+# merge-by-rows to 128-row buckets (8 buckets, +10% slots) runs
+# 0.266 ms/iter (-14%); an intermediate 13-bucket padding-budget rule
+# measured WORSE than both (0.34 — bucket shapes matter, not just
+# count), and 2 buckets at +67% slots lost the win back.  Sides with
+# at most SMALL_SIDE_ENTRIES entries therefore use the probed winner —
+# merge runs by ROWS until SMALL_MIN_BUCKET_ROWS (never splitting an
+# equal-width run) — with a slot-blowup guard for degree-skewed data:
+# if the merged structure pads beyond SMALL_SLOT_GUARD x the guarded
+# structure's slots, keep the guarded one.  Larger sides are slot-bound
+# (instML100k f64 runs at 97% of the gather ceiling) and keep the exact
+# round-3 bucket structure bit-for-bit.
+SMALL_SIDE_ENTRIES = 90_000
+SMALL_MIN_BUCKET_ROWS = 128
+SMALL_SLOT_GUARD = 1.5
 
-def _degree_buckets(counts_sorted: np.ndarray, min_rows: int = MIN_BUCKET_ROWS) -> list[tuple[int, int, int]]:
-    """Contiguous (start, stop, width) buckets over a non-increasing
-    degree sequence: exact-width buckets (padding only where a narrow
-    run merges into a wider bucket to stay above ``min_rows``)."""
+
+def _guarded_buckets(counts_sorted: np.ndarray, min_rows: int) -> list[tuple[int, int, int]]:
+    """Half-width-guarded buckets (the round-3 rule; large sides)."""
     out: list[tuple[int, int, int]] = []
     n = len(counts_sorted)
     start = 0
@@ -131,6 +149,42 @@ def _degree_buckets(counts_sorted: np.ndarray, min_rows: int = MIN_BUCKET_ROWS) 
         out.append((start, stop, w))  # width = max in bucket (= first)
         start = stop
     return out
+
+
+def _rows_merged_buckets(counts_sorted: np.ndarray, min_rows: int) -> list[tuple[int, int, int]]:
+    """Merge-by-rows buckets (small op-floor-bound sides): absorb runs
+    regardless of width until ``min_rows`` rows, continuing past that
+    only while rows still match the bucket's own width (so a leading
+    wide run is never split) — exactly the configuration the probe
+    measured fastest."""
+    out: list[tuple[int, int, int]] = []
+    n = len(counts_sorted)
+    start = 0
+    while start < n and counts_sorted[start] > 0:
+        w = int(counts_sorted[start])
+        stop = start
+        while stop < n and counts_sorted[stop] > 0 and (
+            stop - start < min_rows or int(counts_sorted[stop]) == w
+        ):
+            stop += 1
+        out.append((start, stop, w))
+        start = stop
+    return out
+
+
+def _degree_buckets(counts_sorted: np.ndarray, min_rows: int = MIN_BUCKET_ROWS) -> list[tuple[int, int, int]]:
+    """Contiguous (start, stop, width) buckets over a non-increasing
+    degree sequence: exact-width buckets with narrow-run merging — the
+    probed merge-by-rows rule on small sides (slot-guarded), the
+    half-width rule everywhere else (see the regime notes above)."""
+    if int(counts_sorted.sum()) <= SMALL_SIDE_ENTRIES:
+        merged = _rows_merged_buckets(counts_sorted, SMALL_MIN_BUCKET_ROWS)
+        guarded = _guarded_buckets(counts_sorted, min_rows)
+        slots = lambda bs: sum(w * (b1 - b0) for (b0, b1, w) in bs)  # noqa: E731
+        if slots(merged) <= SMALL_SLOT_GUARD * slots(guarded):
+            return merged
+        return guarded
+    return _guarded_buckets(counts_sorted, min_rows)
 
 
 def _degree_perm(coords: np.ndarray, dim: int):
@@ -359,8 +413,10 @@ def _chunk_grain(set_bytes: int, row_bytes: int = 0, f64: bool = False) -> int:
 # 128-lane tile — a 6.4x HBM-bandwidth tax at k=20.  Re-gathering for
 # the second consumer behind an optimization_barrier (so CSE cannot
 # merge the two) *can* let each gather fuse into its own reduction with
-# no staged temp; the result is bit-identical (same rows, same
-# arithmetic; asserted by test_regather_variant_bit_identical).
+# no staged temp; the result computes the same sums from the same rows,
+# though XLA may reassociate the w-dim reduction differently per
+# variant (last-ulp f32 drift; test_regather_variant_equivalent asserts
+# ulp-level factors and identical recommendations).
 #
 # Measured, real TPU: an early A/B during a degraded-attachment window
 # showed 2.59 vs 3.20 ms/iter in its favor, but (a) end-to-end sweep

@@ -60,8 +60,29 @@ def aggressive_buckets(min_rows):
     return f
 
 
-CONFIGS = [("guarded", None, mr) for mr in (64,)] + [
-    ("aggressive", aggressive_buckets(mr), mr) for mr in (128, 512, 100000)
+def old_rule(counts_sorted, min_rows=64):
+    """Round-3 half-width guard (pre-padding-budget), for A/B."""
+    import numpy as np
+    out = []
+    n = len(counts_sorted)
+    start = 0
+    while start < n and counts_sorted[start] > 0:
+        w = int(counts_sorted[start])
+        stop = int(np.searchsorted(-counts_sorted, -w, side="right"))
+        while stop - start < min_rows and stop < n and counts_sorted[stop] * 2 >= w:
+            nxt = int(counts_sorted[stop])
+            stop = int(np.searchsorted(-counts_sorted, -nxt, side="right"))
+        out.append((start, stop, w))
+        start = stop
+    return out
+
+
+CONFIGS = [
+    ("shipped", None, 64),
+    ("oldrule", old_rule, 64),
+    ("aggr128", aggressive_buckets(128), 128),
+    ("shipped2", None, 64),
+    ("oldrule2", old_rule, 64),
 ]
 
 for mode, patch, min_rows in CONFIGS:

@@ -134,9 +134,13 @@ def test_choose_path_dtype_aware():
     assert trainer.choose_path(ml, RunConfig(dtype="float32")) in ("pallas", "dense")
 
 
-def test_regather_variant_bit_identical(sparse_spec):
+def test_regather_variant_equivalent(sparse_spec):
     """REGATHER_FOR_GRADIENT re-gathers the same rows behind an
-    optimization_barrier — the factors must come out BIT-identical."""
+    optimization_barrier — same rows, same math, but XLA may fuse the
+    second gather into its reduction and reassociate the w-dim sum
+    (observed when round 4's merge-by-rows bucketing produced a single
+    wide user bucket), so the contract is ulp-level agreement and an
+    identical recommendation output, not bitwise factors."""
     from recsys_tpu.ops import bell as bell_mod
 
     saved = bell_mod.REGATHER_FOR_GRADIENT
@@ -151,8 +155,11 @@ def test_regather_variant_bit_identical(sparse_spec):
     finally:
         bell_mod.REGATHER_FOR_GRADIENT = saved
         trainer._train_bell.clear_cache()
-    np.testing.assert_array_equal(np.asarray(a.L), np.asarray(b.L))
-    np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+    np.testing.assert_allclose(np.asarray(a.L), np.asarray(b.L), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.R), np.asarray(b.R), rtol=1e-6, atol=1e-7)
+    out_a = trainer.recommend(a, sparse_spec, RunConfig(dtype="float32"))
+    out_b = trainer.recommend(b, sparse_spec, RunConfig(dtype="float32"))
+    np.testing.assert_array_equal(out_a, out_b)
 
 
 def test_chunked_rows_independent(sparse_spec):
