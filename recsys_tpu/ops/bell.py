@@ -700,7 +700,12 @@ def _sharded_side_tables(shard, own_local, other_local, vals, own_blk_dim, other
     d = np.bincount(key, minlength=n_shards * own_blk_dim).reshape(n_shards, own_blk_dim)
     w_need = d.max(axis=0) if len(vals) else np.zeros(own_blk_dim, np.int64)
     env = np.maximum.accumulate(w_need[::-1])[::-1]
-    bounds = _degree_buckets(env)
+    # Always the guarded (round-3) rule here: ``env`` is a per-shard
+    # MAX-degree envelope, not an entry-count array, so the small-side
+    # merge-by-rows switch (keyed on summed ENTRIES) would misfire —
+    # and its padding cost replicates across every shard besides.  The
+    # merge-by-rows win was only probed single-chip.
+    bounds = _guarded_buckets(env, MIN_BUCKET_ROWS)
     n_nz = bounds[-1][1] if bounds else 0
 
     order = np.argsort(key, kind="stable")  # keeps file order within a row

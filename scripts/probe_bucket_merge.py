@@ -38,57 +38,29 @@ spec = load_problem(os.path.join("tests", "fixtures", f"{INSTANCE}.in"))
 print(f"devices: {jax.devices()}  {INSTANCE} k={spec.features} nnz={spec.nnz}; {ITERS} iters", flush=True)
 state = init_factors(spec.users, spec.items, spec.features)
 
-def aggressive_buckets(min_rows):
-    """Merge WITHOUT the half-width guard: buckets absorb narrower runs
-    until min_rows rows, trading padding slots for fewer fused chains."""
-
-    def f(counts_sorted, min_rows_arg=None, _mr=min_rows):
-        out = []
-        n = len(counts_sorted)
-        start = 0
-        while start < n and counts_sorted[start] > 0:
-            w = int(counts_sorted[start])
-            stop = start
-            while stop < n and counts_sorted[stop] > 0 and (
-                stop - start < _mr or int(counts_sorted[stop]) == w
-            ):
-                stop += 1
-            out.append((start, stop, w))
-            start = stop
-        return out
-
-    return f
+# Every config patches _degree_buckets with the SHIPPED implementations
+# (bell._rows_merged_buckets / bell._guarded_buckets) at an explicit
+# min_rows — a frozen local copy would silently drift from the code
+# under test, and assigning bell.MIN_BUCKET_ROWS is a no-op (it was
+# bound as a default parameter value at import).
+def merged(min_rows):
+    return lambda cs, mr=None: bell._rows_merged_buckets(cs, min_rows)
 
 
-def old_rule(counts_sorted, min_rows=64):
-    """Round-3 half-width guard (pre-padding-budget), for A/B."""
-    import numpy as np
-    out = []
-    n = len(counts_sorted)
-    start = 0
-    while start < n and counts_sorted[start] > 0:
-        w = int(counts_sorted[start])
-        stop = int(np.searchsorted(-counts_sorted, -w, side="right"))
-        while stop - start < min_rows and stop < n and counts_sorted[stop] * 2 >= w:
-            nxt = int(counts_sorted[stop])
-            stop = int(np.searchsorted(-counts_sorted, -nxt, side="right"))
-        out.append((start, stop, w))
-        start = stop
-    return out
+def guarded(min_rows):
+    return lambda cs, mr=None: bell._guarded_buckets(cs, min_rows)
 
 
 CONFIGS = [
-    ("shipped", None, 64),
-    ("oldrule", old_rule, 64),
-    ("aggr128", aggressive_buckets(128), 128),
-    ("shipped2", None, 64),
-    ("oldrule2", old_rule, 64),
+    ("shipped", None, 0),
+    ("guard64", guarded(64), 64),
+    ("merge128", merged(128), 128),
+    ("shipped2", None, 0),
+    ("guard64b", guarded(64), 64),
 ]
 
 for mode, patch, min_rows in CONFIGS:
-    saved = bell.MIN_BUCKET_ROWS
     saved_fn = bell._degree_buckets
-    bell.MIN_BUCKET_ROWS = min_rows
     if patch is not None:
         bell._degree_buckets = patch
     try:
@@ -125,5 +97,4 @@ for mode, patch, min_rows in CONFIGS:
     except Exception as e:  # noqa: BLE001
         print(f"{mode} min_rows={min_rows}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:160]}", flush=True)
     finally:
-        bell.MIN_BUCKET_ROWS = saved
         bell._degree_buckets = saved_fn
