@@ -286,8 +286,10 @@ def format_markdown(rows: list[dict]) -> str:
         "  pre-round-4 rows — conservative) against the formulation's hardware",
         "  minimum, recomputed at render time with the current model",
         "  (bench/roofline.py): 'gather' rows price each BELL side separately",
-        "  (slot count, f64 split form, and source-table size are per-side)",
-        "  over the measured XLA row-gather engine ceilings; 'mxu' rows price",
+        "  (slot count and the f64 split form are per-side) over the fused-",
+        "  pipeline ceilings — the best sustained production observation per",
+        "  dtype (scripts/calibrate_gather_ceiling.py; synthetic standalone",
+        "  gathers measure LOWER than XLA's fused gather->reduce); 'mxu' rows price",
         "  2*users*items*(128 + 2k) MAC-equivalents per iteration — the",
         "  prediction matmul pays the systolic array's full 128-lane",
         "  contraction whatever k is, the two K-major gradient matmuls cost",
@@ -306,12 +308,12 @@ def format_markdown(rows: list[dict]) -> str:
         "  blobs are missing upstream (see tests/fixtures/README.md); gen-instML1M",
         "  mirrors ML1M's shape/nnz/hyperparameters and is compared against the",
         "  original's published numbers.",
-        "- bf16 single-pass matmuls help the VMEM-resident kernel only; on the",
-        "  tiled kernel they measured slower than 6-pass f32 (A-traffic bound), so",
-        "  bfloat16 falls back to full precision there. The resident kernel can",
-        "  also *store* A in bf16 (exact for integer/half-star rating scales),",
-        "  halving its VMEM footprint — that is how ML1M-scale instances fit the",
-        "  single-kernel path.",
+        "- bf16 single-pass matmuls help the VMEM-resident/streamed kernels",
+        "  only; on the tiled kernel they measured slower than 6-pass f32",
+        "  (A-traffic bound), so bfloat16 falls back to full precision there.",
+        "  The fused kernels also *store* A compactly when exact (int8 for",
+        "  half-star scales, bf16 when ratings round-trip) — that is how",
+        "  ML1M-scale instances fit the one-kernel paths.",
         "- inst200-10000's golden is order-sensitive: even the numpy f64 oracle (and",
         "  hence any matrix-form engine) agrees 99.50%, not byte-exact — the last",
         "  0.5% of argmaxes depend on the serial C loop's floating-point summation",
@@ -338,9 +340,9 @@ def format_markdown(rows: list[dict]) -> str:
         "  (min over repeats after a warm-up compile) through a REMOTE TPU",
         "  attachment whose fixed per-run overhead (upload + dispatch round",
         "  trips) varies by a factor of several with attachment state — e.g.",
-        "  instML100k f32's end-to-end wall measured 0.143 s in round 3's",
-        "  morning window and 0.197 s in round 4's afternoon window while its",
-        "  steady-state TRAIN phase improved (0.090 s). Walls are quoted as",
+        "  instML100k f32's end-to-end wall measured 0.143 / 0.197 / 0.158 s",
+        "  across three windows of one day while its steady-state TRAIN phase",
+        "  improved monotonically (0.085 s final). Walls are quoted as",
         "  measured (latest row wins); the train/per-iter columns are the",
         "  attachment-invariant signal. The reference's published numbers have",
         "  no such overhead (local process, wall ~= train).",
