@@ -37,6 +37,11 @@ def _add_common(p):
     p.add_argument("--mesh", default=None, help="RxC mesh override, e.g. 4x2 (multi-device)")
     p.add_argument("--block-items", type=int, default=4096)
     p.add_argument("--no-time", action="store_true", help="suppress the trailing time line")
+    p.add_argument(
+        "--strict", action="store_true",
+        help="refuse lossy modes below their measured acceptance floor "
+        "(bfloat16 on shapes benched <98%% argmax agreement, or unbenched shapes)",
+    )
 
 
 def main(argv=None):
@@ -86,16 +91,6 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_enable_x64", True)
-    if getattr(args, "dtype", None) == "bfloat16":
-        # Acceptance policy (bench/sweep.py BF16_MIN_AGREEMENT): bf16 is
-        # a speed mode whose per-instance argmax agreement must be
-        # validated against the exact mode; warn at the point of use.
-        print(
-            "note: bfloat16 is a speed mode — validate argmax agreement vs "
-            "float64 per instance (>=98% floor; see BENCHMARKS.md policy)",
-            file=sys.stderr,
-        )
-
     from recsys_tpu.io.parser import load_problem
     from recsys_tpu.utils.cache import enable_persistent_cache
     from recsys_tpu.utils.timing import Timer
@@ -155,6 +150,12 @@ def main(argv=None):
         with prof, Timer() as t:
             spec = load_problem(args.input)
             _banner(spec)
+            if cfg.dtype == "bfloat16":
+                from recsys_tpu.bench.bf16_policy import check as _bf16_check
+
+                if not _bf16_check(spec, strict=args.strict):
+                    print("error: refusing bfloat16 under --strict", file=sys.stderr)
+                    return 2
             if args.checkpoint:
                 from recsys_tpu.engine import trainer
                 from recsys_tpu.utils.checkpoint import run_with_checkpoints
@@ -174,6 +175,12 @@ def main(argv=None):
     if args.cmd == "bench":
         spec = load_problem(args.input)
         _banner(spec)
+        if cfg.dtype == "bfloat16":
+            from recsys_tpu.bench.bf16_policy import check as _bf16_check
+
+            if not _bf16_check(spec, strict=args.strict):
+                print("error: refusing bfloat16 under --strict", file=sys.stderr)
+                return 2
         # Warm-up run compiles everything.
         _dispatch_run(spec, cfg)
         times = []

@@ -91,6 +91,39 @@ def test_dryrun_multichip_hook():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_tpu_tolerance_branch_passes():
+    """The (2e-2, 0.95) TPU-tolerance branch must be executable, not dead
+    code (round-4 review weak #6): force it on the CPU mesh — an inverted
+    comparison or malformed bound in the loose branch fails here."""
+    par.dryrun(8, tpu_tolerances=True)
+
+
+def test_dryrun_catches_dropped_psum(monkeypatch):
+    """Dropping the factor-delta all-reduce (the MPI analogue: skipping the
+    Allreduce at ``matFact-mpi.c:207-209``) must not pass the dryrun.  It is
+    in fact caught *statically*: shard_map's varying-axes typing rejects the
+    carry whose deltas are still axis-varying."""
+    real_psum = jax.lax.psum
+    monkeypatch.setattr(jax.lax, "psum", lambda x, axis_name, **kw: x)
+    with pytest.raises(Exception):
+        par.dryrun(8, tpu_tolerances=True)
+    monkeypatch.setattr(jax.lax, "psum", real_psum)
+
+
+def test_dryrun_tpu_tolerances_catch_double_counted_reduction(monkeypatch):
+    """Even the loose TPU bounds must catch a systematic *numeric* sharding
+    bug the type system cannot see: a double-counted reduction (the bug
+    class the reference's count-the-base-once dance at
+    ``matFact-mpi.c:187-188`` guards against)."""
+    real_psum = jax.lax.psum
+    monkeypatch.setattr(
+        jax.lax, "psum", lambda x, axis_name, **kw: real_psum(x, axis_name, **kw) * 2
+    )
+    with pytest.raises(AssertionError):
+        par.dryrun(8, tpu_tolerances=True)
+    monkeypatch.setattr(jax.lax, "psum", real_psum)
+
+
 @pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
 def test_sharded_coo_cumsum_matches_single_chip(shape):
     """f32 sharded COO (scatter-free prefix-sum form) vs single-device
