@@ -67,6 +67,22 @@ MXU_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 6.0}
 GATHER_ROWS_PER_S = {"float32": 420e6, "bfloat16": 420e6, "float64": 140e6}
 GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
 
+# Software-emulated f64 elementwise throughput inside the fused BELL
+# reductions (mul/add/join ops over the gathered rows) — the term the
+# round-4 roofline left unpriced, which made every SPLIT-f64 row (whose
+# gathers run at the pure f32 rate) render 40-58% "of roofline" when the
+# missing cost was XLA's software-f64 VPU math, not headroom (round-4
+# review, weak #1/#2).  Same convention as the gather ceilings: the best
+# sustained production observation (+~2% headroom), derived from the
+# committed f64 rows by scripts/calibrate_gather_ceiling.py — round 5:
+# gen-inst60000-2000 sustains 70.7 G emulated-op/s and
+# gen-inst20000-10000 70.2 inside chunked additive pipelines.  Ops per
+# slot are counted from the formulation (ops/bell.py::_delta_side): per
+# gathered element one pred mul + one pred-reduce add + one delta mul +
+# one delta-reduce add (4k per slot), plus the 2-add exact join when the
+# side gathers its 3xf32 split form (6k), plus 2 per-slot err ops.
+F64_VPU_OPS_PER_S = 72e9
+
 
 def gather_row_seconds(
     k: int,
@@ -102,6 +118,41 @@ def gather_row_seconds(
     return max(1.0 / rate, kw * es / (GATHER_BYTES_GBPS * 1e9))
 
 
+def bell_side_seconds(k: int, dtype: str, slots: int) -> float:
+    """Roofline-minimum seconds per iteration for ONE BELL side: the
+    fused gather cost plus (f64 only) the software-f64 VPU elementwise
+    term, composed by the side's measured pipeline regime:
+
+    * CHUNKED sides (gathered set > the fuse grain, ops/bell.py
+      ``_chunk_grain``) process 32-64 MB pieces whose gathers and
+      reductions SERIALIZE — every committed chunked-f64 row sits at
+      82-100% of the ADDITIVE gather+VPU floor at the calibrated rate
+      (gen-inst60000-2000 98.9%, gen-inst20000-10000 98%, gen-ML1M 91%).
+    * UNCHUNKED sides fuse the whole pipeline and the VPU math overlaps
+      the gather engine — the committed small/unchunked rows run ABOVE
+      the additive floor (instML100k 112%, inst200-10000 123%,
+      inst1000-1000 175% of additive), so the honest floor there is
+      ``max(gather, vpu)``.
+
+    f32/bf16 sides price gather only: their elementwise math runs at
+    native VPU rate (~100x the f64-emulation rate) and never binds.
+    """
+    if slots == 0:
+        return 0.0
+    gather = slots * gather_row_seconds(k, dtype, slots)
+    if dtype != "float64":
+        return gather
+    from recsys_tpu.ops.bell import _chunk_grain, _use_split_gather
+
+    split = _use_split_gather("float64", k, slots)
+    ops = slots * ((6 * k + 2) if split else (4 * k + 2))
+    vpu = ops / F64_VPU_OPS_PER_S
+    row_bytes = (3 * k * 4 + k * 8) if split else k * 8
+    set_bytes = slots * row_bytes
+    chunked = set_bytes > _chunk_grain(set_bytes, row_bytes=row_bytes, f64=True)
+    return gather + vpu if chunked else max(gather, vpu)
+
+
 def train_cost_model(spec, cfg, path: str):
     """(model, seconds_per_iteration) of the roofline-minimum iteration
     cost for this instance/path, or (None, None) when no device model
@@ -121,10 +172,10 @@ def train_cost_model(spec, cfg, path: str):
         from recsys_tpu.ops.bell import bell_side_slots
 
         su, si = bell_side_slots(spec)
-        per_iter = su * gather_row_seconds(k, cfg.dtype, su) + si * gather_row_seconds(
-            k, cfg.dtype, si
+        per_iter = sum(
+            bell_side_seconds(k, cfg.dtype, s) for s in (su, si)
         )
-        return "gather", per_iter
+        return "gather+f64vpu" if cfg.dtype == "float64" else "gather", per_iter
     if path == "coo":
         # Gather-engine-bound: two k-row gathers per entry per side
         # (L[row], R[col] for the prediction; the segment reduction's

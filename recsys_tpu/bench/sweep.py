@@ -289,7 +289,14 @@ def format_markdown(rows: list[dict]) -> str:
         "  (slot count and the f64 split form are per-side) over the fused-",
         "  pipeline ceilings — the best sustained production observation per",
         "  dtype (scripts/calibrate_gather_ceiling.py; synthetic standalone",
-        "  gathers measure LOWER than XLA's fused gather->reduce); 'mxu' rows price",
+        "  gathers measure LOWER than XLA's fused gather->reduce);",
+        "  'gather+f64vpu' (exact-f64 BELL) adds the software-f64 VPU",
+        "  elementwise term per side (~(4k+2) emulated ops per slot, (6k+2)",
+        "  with the split-form join) at the calibrated 72 G op/s production",
+        "  ceiling — additive with the gather when the side is chunked",
+        "  (pieces serialize), max() when the side fuses whole (the VPU math",
+        "  overlaps the gather engine; see roofline.bell_side_seconds);",
+        "  'mxu' rows price",
         "  2*users*items*(128 + 2k) MAC-equivalents per iteration — the",
         "  prediction matmul pays the systolic array's full 128-lane",
         "  contraction whatever k is, the two K-major gradient matmuls cost",

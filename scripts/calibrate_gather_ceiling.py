@@ -84,6 +84,45 @@ def main():
     for dt, v in sorted(best.items()):
         print(f"  {dt}: {v / 1e6:.0f} M rows/s")
 
+    # --- F64 VPU elementwise ceiling (round 5) ---------------------------
+    # The f64 BELL floor is gather + software-f64 VPU math per side
+    # (roofline.py::bell_side_seconds, additive when the side is chunked,
+    # max() when fused).  For each committed f64 row, find the VPU rate
+    # that would put the row exactly AT its floor; F64_VPU_OPS_PER_S must
+    # dominate the max (same best-sustained-production convention).
+    from recsys_tpu.bench import roofline
+    from recsys_tpu.config import RunConfig
+
+    print("\nf64 rows: implied VPU rate (model == measured at this rate):")
+    need = 0.0
+    for (name, dtype), r in sorted(latest.items()):
+        if dtype != "float64" or r.get("path") != "bell" or r.get("backend") == "cpu":
+            continue
+        spec = specs.get(name)
+        wall = r.get("train_s")
+        if spec is None or not wall:
+            continue
+        saved = roofline.F64_VPU_OPS_PER_S
+        lo, hi = 1e9, 1e13
+        try:
+            for _ in range(60):
+                mid = (lo * hi) ** 0.5
+                roofline.F64_VPU_OPS_PER_S = mid
+                _, per_iter = roofline.train_cost_model(spec, RunConfig(dtype=dtype), "bell")
+                if per_iter * spec.iters > wall:
+                    lo = mid  # model still above the measurement: raise the rate
+                else:
+                    hi = mid
+        finally:
+            roofline.F64_VPU_OPS_PER_S = saved
+        implied = (lo * hi) ** 0.5
+        binding = implied < 1e12  # gather-bound rows imply "any rate" (capped)
+        if binding:
+            need = max(need, implied)
+        print(f"  {name:30s} {implied / 1e9:8.1f} G op/s" + ("" if binding else "  (gather-bound)"))
+    print(f"\nmax implied (F64_VPU_OPS_PER_S must dominate): {need / 1e9:.1f} G op/s "
+          f"(current constant {roofline.F64_VPU_OPS_PER_S / 1e9:.0f})")
+
 
 if __name__ == "__main__":
     main()

@@ -309,6 +309,96 @@ def test_split2_is_not_exact():
     np.testing.assert_array_equal(got3, x)  # 3-way split: exact
 
 
+def _two_sum_f32(a, b):
+    """Knuth 2Sum in genuine f32 arithmetic: s + err == a + b exactly."""
+    a = np.float32(a)
+    b = np.float32(b)
+    s = np.float32(a + b)
+    bb = np.float32(s - a)
+    err = np.float32(np.float32(a - np.float32(s - bb)) + np.float32(b - bb))
+    return s, err
+
+
+def _split3_scalar(x):
+    hi = np.float32(x)
+    r1 = np.float64(x) - np.float64(hi)
+    mid = np.float32(r1)
+    lo = np.float32(r1 - np.float64(mid))
+    return hi, mid, lo
+
+
+def test_triple_accum_beats_f64_in_gd_domain():
+    """Round-5 adjudication of the split-f32 ACCUMULATION (VERDICT r4
+    next #1), part 1: f32-triple accumulation of f64 terms (Shewchuk
+    grow-expansion over 2Sum, components capped at 3 f32s) is at least
+    f64-grade — the capped ladder self-spaces at ~24-bit steps, so a
+    dropped component sits ~72 bits below the running magnitude, vs the
+    53 bits sequential f64 keeps.  On GD-domain data it returns the
+    CORRECTLY-ROUNDED sum where sequential f64 accumulation already
+    drifts.  The obstruction to the candidate formulation is therefore
+    NOT the accumulation (see the companion product test below)."""
+    import math
+
+    def accumulate(terms):
+        comps: list[np.float32] = []
+        for t in terms:
+            for p in _split3_scalar(t):  # exact: t enters as 3 f32s
+                q = p
+                new = []
+                for c in comps:
+                    q, err = _two_sum_f32(q, c)
+                    if err != 0:
+                        new.append(err)
+                new.append(q)
+                comps = new
+            if len(comps) > 3:  # cap at a triple, dropping the smallest
+                comps.sort(key=abs)
+                comps = comps[-3:]
+        return math.fsum(float(c) for c in comps)
+
+    rng = np.random.default_rng(29)
+    terms = rng.uniform(-10, 10, size=2000)
+    terms[::7] *= 1e-4  # GD dynamic range: gradients ~1e-4 x residuals
+    exact = math.fsum(terms.tolist())  # correctly rounded
+    assert accumulate(terms.tolist()) == exact
+    seq = np.float64(0.0)
+    for t in terms:
+        seq = seq + t
+    assert float(seq) != exact  # plain f64 accumulation drops bits here
+
+
+def test_split_product_f32_cross_terms_not_f64_exact():
+    """Part 2, the obstruction: the candidate needs f64-grade PRODUCTS
+    (err*g, fo*g) from the f32 triples without touching software f64.
+    The 9 cross-products of two split triples span up to 106 bits; in
+    plain f32 each cross-product ROUNDS (h1*h2 alone spans 48 bits), so
+    even granting an error-free accumulation of all 9 f32 terms, the
+    result misses the true f64 product on essentially every
+    full-mantissa input.  The exact repair (Dekker 2Prod; jax.lax
+    exposes no fma primitive) costs ~17 f32 ops per partial product —
+    at or above the ~54-native-flops-per-op cost of XLA's own f64
+    emulation (the calibrated 72 G op/s production rate), so the
+    formulation cannot beat the emulation it replaces.  DESIGN.md §3.11
+    is the full adjudication."""
+    import math
+    from fractions import Fraction
+
+    rng = np.random.default_rng(31)
+    mism = 0
+    for _ in range(200):
+        x = float(rng.uniform(0.1, 10.0))
+        y = float(rng.uniform(0.1, 10.0))
+        xs, ys = _split3_scalar(x), _split3_scalar(y)
+        # Most charitable FMA-free scheme: every cross-product in f32,
+        # then EXACT accumulation of the 9 rounded terms.
+        acc = Fraction(0)
+        for a in xs:
+            for b in ys:
+                acc += Fraction(float(np.float32(a) * np.float32(b)))
+        mism += float(acc) != x * y
+    assert mism >= 195  # ~100%: the scheme is not f64-grade
+
+
 def test_bell_f64_split_gather_bit_identical():
     """The f64 split-gather path (default for 3k <= 64; chunked sides up
     to 3k <= 128) produces factors BIT-identical to the plain f64
