@@ -83,6 +83,15 @@ GATHER_BYTES_GBPS = 209.0  # wide-row cap: k512 f32 measured 102 M rows/s
 # side gathers its 3xf32 split form (6k), plus 2 per-slot err ops.
 F64_VPU_OPS_PER_S = 72e9
 
+# Fixed in-loop cost per fused-kernel iteration (loop carry, strip
+# bookkeeping, grid re-entry): the term single-pass/small-shape rows pay
+# that no MXU pass count amortizes.  Bounded by the committed rows whose
+# MXU work is smallest relative to their wall (instML100k bfloat16:
+# 4.3 us/iter at a 3.5 us padded 1-pass floor => <= 0.8 us fixed;
+# inst500-500 bfloat16: 1.5 us at 0.45 => <= 1.05).  Same convention as
+# every ceiling here: the tightest production bound, slightly inside it.
+PALLAS_ITER_FLOOR_S = 0.75e-6
+
 
 def gather_row_seconds(
     k: int,
@@ -192,13 +201,43 @@ def train_cost_model(spec, cfg, path: str):
         # occupies 23% of every pred pass), while the two gradient
         # matmuls stream only K sublane rows (the K-major layout) and
         # cost their true k.  MAC-equivalents per iteration:
-        #   pred: users*items*128;  dL + dR: 2 * users*items*k.
+        #   pred: U*I*128;  dL + dR: 2 * U*I*k.
+        #
+        # Round 5 (profile by slope, scripts/probe_resident_profile.py,
+        # bench_logs/r5_probe_resident*.log): the fused kernels run at
+        # the model's speed of light once their REAL hardware work is
+        # priced —
+        # * PADDED dims, not true dims: the strip walk pads items to the
+        #   plan's strip multiple and users to 128 (the plan already
+        #   ranks candidates by padding; the residue is MXU work the
+        #   systolic array physically performs).  ML100k 1-pass measured
+        #   4.0 us/iter == the padded 1-pass model.
+        # * A fixed in-loop cost per iteration (PALLAS_ITER_FLOOR_S):
+        #   sequential loop-carry overhead that no pass count amortizes,
+        #   bounded by the smallest committed row (inst500-500 bf16:
+        #   1.5 us/iter total at a 0.7 us 1-pass padded floor).
+        # * The streamed kernel reads transposed A from HBM once per
+        #   iteration (the resident kernel holds it in VMEM).
         kp = -(-k // 128) * 128
-        flops_per_iter = 2.0 * spec.users * spec.items * (kp + 2 * k)
+        users_p, items_p = spec.users, spec.items
+        extra = PALLAS_ITER_FLOOR_S
+        if path == "pallas":
+            from recsys_tpu.engine import trainer
+
+            kind, a_dtype, strip = trainer._pallas_plan(
+                spec, precision=trainer.mxu_precision(cfg)
+            )
+            users_p = -(-spec.users // 128) * 128
+            items_p = -(-spec.items // max(strip, 1)) * max(strip, 1)
+            if kind == "stream":
+                import jax.numpy as jnp
+
+                extra += users_p * items_p * jnp.dtype(a_dtype).itemsize / (HBM_GBPS * 1e9)
+        flops_per_iter = 2.0 * users_p * items_p * (kp + 2 * k)
         peak = MXU_TFLOPS["bfloat16" if cfg.dtype == "bfloat16" else "float32"]
         if cfg.dtype == "float32" and getattr(cfg, "precision", "auto") == "bf16x3":
             peak = 197.0 / 3.0  # 3-pass split product (ops/pallas_dense._dot)
-        return "mxu", flops_per_iter / (peak * 1e12)
+        return "mxu", flops_per_iter / (peak * 1e12) + extra
     return None, None
 
 

@@ -297,15 +297,33 @@ def format_markdown(rows: list[dict]) -> str:
         "  (pieces serialize), max() when the side fuses whole (the VPU math",
         "  overlaps the gather engine; see roofline.bell_side_seconds);",
         "  'mxu' rows price",
-        "  2*users*items*(128 + 2k) MAC-equivalents per iteration — the",
-        "  prediction matmul pays the systolic array's full 128-lane",
-        "  contraction whatever k is, the two K-major gradient matmuls cost",
-        "  their true k — over the MXU peak (197 TFLOP/s bf16; f32 at highest",
-        "  precision = 6 passes, bf16x3 = 3). 100% = speed of light for that",
+        "  2*U*I*(128 + 2k) MAC-equivalents per iteration at the PADDED dims",
+        "  of the engine's own kernel plan (the strip walk pads items to the",
+        "  strip multiple, users to 128 — real systolic-array work; the plan",
+        "  already ranks candidates by padding) — the prediction matmul pays",
+        "  the full 128-lane contraction whatever k is, the two K-major",
+        "  gradient matmuls cost their true k — over the MXU peak (197",
+        "  TFLOP/s bf16; f32 at highest precision = 6 passes, bf16x3 = 3),",
+        "  plus a 0.75 us fixed in-loop cost per iteration (bounded by the",
+        "  smallest committed rows) and, for the streamed kernel, one",
+        "  HBM read of transposed A per iteration. Calibration: the ML100k",
+        "  1-pass row measures AT the padded 1-pass model (4.0 us/iter,",
+        "  bench_logs/r5_probe_resident.log). 100% = speed of light for that",
         "  formulation. Host-routed and software-f64 dense rows have no model.",
         f"- bfloat16 policy: rows must reach {100 * BF16_MIN_AGREEMENT:.0f}% argmax agreement with the",
         "  exact-f64 golden; rows marked BELOW-FLOOR (or without a golden) fail",
         "  the floor and are excluded from headline claims — use float32 there.",
+        "- inst600-10000 is the one dense shape materially below its MXU model",
+        "  (~60% at k=10), and its floor is profile-backed rather than modelled:",
+        "  the slope probe (bench_logs/r5_probe_inst600.log) shows even the",
+        "  1-pass kernel at 23.0 us/iter vs the 9.85 us padded-MXU model — VPU",
+        "  elementwise work over the U*I error cells that k=10's thin MXU work",
+        "  cannot hide (plus ~5.7 us/extra-pass of operand-split VPU work at",
+        "  highest) — consistent across all three tiers and strip layouts, and",
+        "  cheaper than every alternative measured (XLA dot_general chains run",
+        "  82/39.8 us). The same per-cell work hides inside the MXU passes on",
+        "  every other committed dense shape, so the model keeps the honest",
+        "  MXU+floor form rather than a shape-fit constant.",
         "- Single-pass bfloat16 rows sit lower on the %roofline column than the",
         "  6-pass f32 rows by construction: the model prices MXU passes only,",
         "  and the VPU/elementwise/scheduling work that is negligible next to 6",
@@ -526,7 +544,9 @@ def _resident_vmem_mb(spec, cfg):
 
     if trainer.choose_path(spec, cfg) != "pallas":
         return None
-    kind, a_dtype, strip = trainer._pallas_plan(spec)  # the engine's own choice
+    kind, a_dtype, strip = trainer._pallas_plan(  # the engine's own choice
+        spec, precision=trainer.mxu_precision(cfg)
+    )
     if kind == "tiled":
         return None
     import jax.numpy as jnp

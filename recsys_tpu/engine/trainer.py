@@ -433,17 +433,53 @@ def _a_storage(spec: ProblemSpec):
     return jnp.float32, 4
 
 
-def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False):
+# f32-A preference cap for the resident kernel at `highest` precision:
+# padded f32 A at most this big measured faster than compact storage
+# (dequant-bound); above it the compact form wins (VMEM-traffic-bound).
+# Bounds: instML100k 8 MB (f32 wins +25-30%), inst600-10000 26 MB
+# (f32 loses 43%) — set between them, nearer the measured winner.
+A32_RESIDENT_CAP_BYTES = 16 << 20
+
+
+def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False,
+                      precision: str = "highest"):
     """A-storage dtype for the resident kernel, or None when the problem
     does not fit VMEM.  ``fused_top1`` applies the tighter budget of the
-    variant that also reconstructs B in-kernel."""
+    variant that also reconstructs B in-kernel.
+
+    Under the 6-pass ``highest`` product the A-storage dtype cuts both
+    ways, measured by slope (scripts/probe_resident_profile.py,
+    bench_logs/r5_probe_resident*.log, r5_probe_ml100k_s896.log,
+    r5_probe_inst600.log), same-window A/Bs:
+
+    * SMALL A: the per-cell dequant dominates — ML100k (8 MB f32 A)
+      f32 A 25.6 us/iter vs bf16 30.3 vs int8 33.5 (+18-31%), and again
+      29.1 vs 39.0 at the plan's own strip.
+    * LARGE A: VMEM traffic/capacity dominates — inst600-10000 (26 MB
+      f32 A) int8 70.7 us/iter vs f32 101.4 (f32 LOSES 43%).
+
+    So f32 A is preferred only when it fits the budget AND the padded A
+    stays under A32_RESIDENT_CAP_BYTES (between the two measured
+    shapes); compact storage is the fallback (it exists to fit bigger
+    shapes).  Under bf16x3/default the compact forms measured at parity
+    or better (int8 16.0 vs f32 17.1 us/iter at strip 512; 14.6 at the
+    plan strip) and keep their VMEM headroom."""
     a_dtype, a_bytes = _a_storage(spec)
+    u128 = -(-spec.users // 128) * 128
+    i_pad = -(-spec.items // strip) * strip
+    if (
+        precision == "highest"
+        and a_bytes < 4
+        and 4 * u128 * i_pad <= A32_RESIDENT_CAP_BYTES
+        and pallas_dense.resident_fits(spec, strip=strip, a_bytes=4, fused_top1=fused_top1)
+    ):
+        return jnp.float32
     if pallas_dense.resident_fits(spec, strip=strip, a_bytes=a_bytes, fused_top1=fused_top1):
         return a_dtype
     return None
 
 
-def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
+def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False, precision: str = "highest"):
     """(kind, a_dtype, strip) for the pallas path — the ONE place that
     decides which fused kernel runs (factorize, run, memory analysis and
     the bench VMEM column all consult it):
@@ -470,7 +506,7 @@ def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
         # grid (one tile in flight).
         if 4 * u128 * cand > pallas_dense.ETILE_CAP_BYTES:
             continue
-        a_dtype = _resident_a_dtype(spec, cand, fused_top1)
+        a_dtype = _resident_a_dtype(spec, cand, fused_top1, precision)
         if a_dtype is not None:
             return "resident", a_dtype, cand
     a_dtype, a_bytes = _a_storage(spec)
@@ -480,7 +516,7 @@ def _pallas_plan(spec: ProblemSpec, fused_top1: bool = False):
 
 
 def _factorize_pallas_impl(spec: ProblemSpec, state: MFState | None, precision: str) -> MFState:
-    kind, a_dtype, strip = _pallas_plan(spec)
+    kind, a_dtype, strip = _pallas_plan(spec, precision=precision)
     alpha2 = 2.0 * spec.alpha
     if kind in ("resident", "stream"):
         with phase("prep"):
@@ -647,7 +683,7 @@ def recommend(state: MFState, spec: ProblemSpec, cfg: RunConfig = RunConfig()) -
 def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
     """Whole problem in ONE kernel: training loop + masked top-1."""
     with jax.enable_x64(False):
-        kind, a_dtype, strip = _pallas_plan(spec, fused_top1=True)
+        kind, a_dtype, strip = _pallas_plan(spec, fused_top1=True, precision=precision)
         with phase("prep"):
             Lt, Rt, (U, I, _) = pallas_dense.pad_factors_for_pallas(spec, strip=strip)
         with phase("upload") as psync:

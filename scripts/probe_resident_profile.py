@@ -40,12 +40,15 @@ from recsys_tpu.ops import pallas_dense as pd
 ap = argparse.ArgumentParser()
 ap.add_argument("--n1", type=int, default=300)
 ap.add_argument("--n2", type=int, default=3000)
+ap.add_argument("--instance", default="instML100k")
+ap.add_argument("--strip", type=int, default=512)
+ap.add_argument("--kernel", default="resident", choices=["resident", "stream"])
 ap.add_argument("--variants", nargs="*", default=None)
 args = ap.parse_args()
 N1, N2 = args.n1, args.n2
 
-spec = load_problem("tests/fixtures/instML100k.in")
-Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=512)
+spec = load_problem(f"tests/fixtures/{args.instance}.in")
+Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=args.strip)
 print(f"padded U={U} I={I} K={K}; slope over iters {N1}->{N2}", flush=True)
 
 A32 = pd.device_dense_AT(spec, U, I, dtype=jnp.float32)
@@ -82,9 +85,11 @@ def slope(name, fn):
         return None
 
 
-def train_fn(A, precision, strip=512):
+def train_fn(A, precision, strip=None):
+    strip = strip or args.strip
+    kernel = pd.stream_train if args.kernel == "stream" else pd.resident_train
     def f(L0, iters):
-        return pd.resident_train(
+        return kernel(
             L0, jnp.asarray(Rt), A,
             iters=iters, alpha2=2.0 * spec.alpha, strip=strip, precision=precision,
         )
@@ -114,12 +119,17 @@ def matmul_only(precision):
     return jax.jit(f, static_argnums=1)
 
 
+Abf16 = pd.device_dense_AT(spec, U, I, dtype=jnp.bfloat16)
+
 VARIANTS = {
     "full prec=highest A=f32": lambda: train_fn(A32, "highest"),
+    "full prec=highest A=bf16": lambda: train_fn(Abf16, "highest"),
+    "full prec=bf16x3 A=int8": lambda: train_fn(A8, "bf16x3"),
+    "full prec=bf16x3 A=bf16": lambda: train_fn(Abf16, "bf16x3"),
     "full prec=bf16x3 A=f32": lambda: train_fn(A32, "bf16x3"),
     "full prec=default A=f32": lambda: train_fn(A32, "default"),
     "full prec=highest A=int8": lambda: train_fn(A8, "highest"),
-    "full prec=highest strip=2048": lambda: train_fn(A32, "highest", strip=2048),
+    "full prec=highest strip=x2": lambda: train_fn(A32, "highest", strip=2 * args.strip),
     "matmul-only prec=highest": lambda: matmul_only("highest"),
     "matmul-only prec=default": lambda: matmul_only("default"),
 }

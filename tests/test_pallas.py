@@ -309,6 +309,34 @@ def test_pallas_plan_dispatch():
     assert trainer._pallas_plan(tall)[0] == "tiled"
 
 
+def test_pallas_plan_a_storage_precision_aware():
+    """A-storage policy (round 5, probe_resident_profile by slope):
+    under the 6-pass 'highest' product compact A measured +18-31%
+    slower in the resident kernel, so f32 A is preferred when it also
+    fits; bf16x3/default keep the compact form (measured parity, more
+    VMEM headroom).  Compact storage remains the FITTING fallback:
+    results are storage-invariant either way."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.engine import trainer
+    from recsys_tpu.io.parser import load_problem
+
+    from helpers import FIXTURES
+
+    spec = load_problem(str(FIXTURES / "instML100k.in"))  # int8-exact ratings
+    kind_h, a_h, _ = trainer._pallas_plan(spec, precision="highest")
+    kind_3, a_3, _ = trainer._pallas_plan(spec, precision="bf16x3")
+    assert kind_h == kind_3 == "resident"  # the preference never changes kind
+    assert a_h == jnp.float32  # 8 MB padded A: under the cap, dequant-bound
+    assert a_3 == jnp.int8
+    # Above the cap (inst600-10000 shape: 26 MB padded f32 A) the
+    # compact form measured 43% faster — highest keeps it.
+    big = load_problem(str(FIXTURES / "inst600-10000-10-40-400.in"))
+    kind_b, a_b, _ = trainer._pallas_plan(big, precision="highest")
+    assert kind_b == "resident"
+    assert a_b == jnp.int8
+
+
 def test_run_uses_fused_kernel_golden(small_spec):
     """trainer.run on a resident-size instance must still match the
     oracle output through the fused path (interpret mode on CPU)."""
