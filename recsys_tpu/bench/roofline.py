@@ -220,7 +220,7 @@ def train_cost_model(spec, cfg, path: str):
         #   iteration (the resident kernel holds it in VMEM).
         kp = -(-k // 128) * 128
         users_p, items_p = spec.users, spec.items
-        extra = PALLAS_ITER_FLOOR_S
+        a_traffic = 0.0
         if path == "pallas":
             from recsys_tpu.engine import trainer
 
@@ -232,12 +232,18 @@ def train_cost_model(spec, cfg, path: str):
             if kind == "stream":
                 import jax.numpy as jnp
 
-                extra += users_p * items_p * jnp.dtype(a_dtype).itemsize / (HBM_GBPS * 1e9)
+                a_traffic = (
+                    users_p * items_p * jnp.dtype(a_dtype).itemsize / (HBM_GBPS * 1e9)
+                )
         flops_per_iter = 2.0 * users_p * items_p * (kp + 2 * k)
         peak = MXU_TFLOPS["bfloat16" if cfg.dtype == "bfloat16" else "float32"]
         if cfg.dtype == "float32" and getattr(cfg, "precision", "auto") == "bf16x3":
             peak = 197.0 / 3.0  # 3-pass split product (ops/pallas_dense._dot)
-        return "mxu", flops_per_iter / (peak * 1e12) + extra
+        # The streamed kernel double-buffers its A strips, so the HBM
+        # read overlaps the MXU passes: the floor is whichever stream is
+        # longer, not their sum (measured: ML1M default-precision f32-A
+        # runs BELOW the additive form, r5_probe_ml1m_stream.log).
+        return "mxu", max(flops_per_iter / (peak * 1e12), a_traffic) + PALLAS_ITER_FLOOR_S
     return None, None
 
 

@@ -102,7 +102,10 @@ def _mesh_shapes(n: int):
 
 def measure_cpu_mesh(spec, cfg, shapes, warmup=1, repeats=3):
     """Wall time of the full sharded training program per mesh shape on
-    the virtual CPU mesh.  Returns rows of (pu, pi, wall_s)."""
+    the virtual CPU mesh.  Returns rows of (pu, pi, min_wall_s, spread)
+    where ``spread`` = max/min - 1 over the repeats — the row's own
+    measured noise band (the shared-socket mesh jitters; a comparison
+    narrower than the joint band of its two rows is not a signal)."""
     import jax
 
     from recsys_tpu.models.mf import init_factors
@@ -122,7 +125,7 @@ def measure_cpu_mesh(spec, cfg, shapes, warmup=1, repeats=3):
             st, _ = factorize_sharded(spec, cfg, state=state, mesh=mesh)
             jax.block_until_ready((st.L, st.R))
             walls.append(time.perf_counter() - t0)
-        rows.append((pu, pi, min(walls)))
+        rows.append((pu, pi, min(walls), max(walls) / min(walls) - 1.0))
         jax.clear_caches()
     return rows
 
@@ -178,13 +181,13 @@ def render_markdown(spec, cfg, path, name, cpu_rows, chips=(1, 2, 4, 8, 16)):
         "shape executes the same program correctly with bounded skew, not",
         "linear speedup.",
         "",
-        "| mesh (u x i) | wall (s) | vs 1x1 |",
-        "|---|---|---|",
+        "| mesh (u x i) | wall (s) | spread (max/min-1) | vs 1x1 |",
+        "|---|---|---|---|",
     ]
-    base = next((w for pu, pi, w in cpu_rows if pu * pi == 1), None)
-    for pu, pi, w in cpu_rows:
+    base = next((w for pu, pi, w, _ in cpu_rows if pu * pi == 1), None)
+    for pu, pi, w, spread in cpu_rows:
         rel = f"{base / w:.2f}x" if base else "-"
-        lines.append(f"| {pu}x{pi} | {w:.3f} | {rel} |")
+        lines.append(f"| {pu}x{pi} | {w:.3f} | ±{100 * spread:.0f}% | {rel} |")
     lines.append("")
     return "\n".join(lines)
 
@@ -227,24 +230,35 @@ def weak_scaling_section(chips=(1, 2, 4, 8, 16), measure_cpu=True):
     if measure_cpu:
         import jax
 
+        repeats = 5
         lines += [
             "",
             "Measured (virtual CPU mesh, correctness-grade — shared-socket",
             "bandwidth, see the strong-scaling caveat): per-chip work fixed,",
-            "the wall should stay ~flat as chips are added.",
+            f"the wall should stay ~flat as chips are added.  min over {repeats}",
+            "repeats per row; 'noise band' = this row's spread plus the 1-chip",
+            "row's (two minima can differ by their joint jitter without meaning",
+            "anything).  A ratio outside the band is a real deviation and is",
+            "flagged; within-band ratios are indistinguishable from 1.0.",
             "",
-            "| chips | wall (s) | vs 1 chip (1.0 = perfect weak scaling) |",
-            "|---|---|---|",
+            "| chips | wall (s) | spread (max/min-1) | vs 1 chip (1.0 = perfect) | noise band | verdict |",
+            "|---|---|---|---|---|---|",
         ]
-        base = None
+        base = base_spread = None
         for n in chips:
             if n > len(jax.devices()):
                 continue
-            rows = measure_cpu_mesh(specs[n], cfg, [(n, 1)], warmup=1, repeats=2)
-            w = rows[0][2]
+            rows = measure_cpu_mesh(specs[n], cfg, [(n, 1)], warmup=1, repeats=repeats)
+            _, _, w, spread = rows[0]
             if base is None:
-                base = w
-            lines.append(f"| {n} | {w:.3f} | {base / w:.2f} |")
+                base, base_spread = w, spread
+            ratio = base / w
+            band = spread + base_spread
+            verdict = "within noise" if abs(ratio - 1.0) <= band else "OUTSIDE BAND"
+            lines.append(
+                f"| {n} | {w:.3f} | ±{100 * spread:.0f}% | {ratio:.2f} | "
+                f"±{100 * band:.0f}% | {verdict} |"
+            )
     lines.append("")
     return "\n".join(lines)
 

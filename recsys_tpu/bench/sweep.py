@@ -163,6 +163,35 @@ def run_instance(name: str, dtype: str, repeats: int):
         k: max(v - floor * sync_counts.get(k, 0), 0.0) for k, v in ph.items()
     }
     train_s = ph.get("train")
+    # Marginal (slope) per-iteration time: the train phase of a single
+    # call still carries a per-call fixed attachment cost (~0.15-0.3 s
+    # of dispatch/DMA-warm RTTs through the relay — measured: gen-ML1M
+    # f32 train_s/iters reads 515 us/iter while the slope across
+    # iteration counts is 417, and the probe intercepts name the same
+    # fixed term, bench_logs/r5_probe_ml1m_stream.log).  Re-running the
+    # train at a reduced iteration count and differencing cancels the
+    # fixed term exactly (same program family, same operands) — the
+    # methodology every probe_* script uses.  The fixed costs and sync
+    # floors cancel in the difference.
+    train_marginal_s = None
+    if train_s is not None and spec.iters >= 100 and not host_routed:
+        import dataclasses
+
+        n1 = max(spec.iters // 3, 10)
+        spec1 = dataclasses.replace(spec, iters=n1)
+        best1 = None
+        for _ in range(2):
+            q: dict = {}
+            with collect_phases(q):
+                trainer.run(spec1, cfg)
+            q.pop("_synced", set())
+            cnts = q.pop("_sync_counts", {})
+            t = q.get("train")
+            if t is not None:
+                t = max(t - floor * cnts.get("train", 0), 0.0)
+                best1 = t if best1 is None else min(best1, t)
+        if best1 is not None and 0 < best1 < train_s:
+            train_marginal_s = (train_s - best1) / (spec.iters - n1) * spec.iters
     # XLA's per-program memory analysis, not runtime memory_stats: the
     # runtime figure is a process-lifetime high-water mark that would
     # attribute an earlier larger instance's peak to every later row.
@@ -171,7 +200,7 @@ def run_instance(name: str, dtype: str, repeats: int):
     chosen = trainer.choose_path(spec, cfg)
     from recsys_tpu.bench.roofline import pct_of_roofline
 
-    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, train_s or wall)
+    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, train_marginal_s or train_s or wall)
     import jax
 
     row = {
@@ -185,6 +214,14 @@ def run_instance(name: str, dtype: str, repeats: int):
         "train_s": None if train_s is None else round(train_s, 4),
         "per_iter_ms": (
             None if train_s is None else round(1e3 * train_s / max(spec.iters, 1), 4)
+        ),
+        "train_marginal_s": (
+            None if train_marginal_s is None else round(train_marginal_s, 4)
+        ),
+        "per_iter_marginal_ms": (
+            None
+            if train_marginal_s is None
+            else round(1e3 * train_marginal_s / max(spec.iters, 1), 4)
         ),
         "prep_s": None if "prep" not in ph else round(ph["prep"], 4),
         "upload_s": None if "upload" not in ph else round(ph["upload"], 4),
@@ -266,7 +303,7 @@ def format_markdown(rows: list[dict]) -> str:
         rlcol = "-" if pct is None else f"{pct:g}% {r.get('roofline_model', '')}"
         train = r.get("train_s")
         traincol = "-" if train is None else f"{train:g}"
-        pit = r.get("per_iter_ms")
+        pit = r.get("per_iter_marginal_ms") or r.get("per_iter_ms")
         pitcol = "-" if pit is None else f"{pit:g}"
         pathcol = r["path"] + (" (cpu)" if r.get("backend") == "cpu" else "")
         lines.append(
@@ -281,7 +318,12 @@ def format_markdown(rows: list[dict]) -> str:
         "  measured by an instrumented pass (utils/timing.py collect_phases):",
         "  upload, compile and top-1 are one-shot costs that dominate short",
         "  walls (the 10-iteration extreme shapes especially). Rows measured",
-        "  before round 4 carry '-' there.",
+        "  before round 4 carry '-' there. Round-5+ rows also measure the",
+        "  MARGINAL per-iteration time (slope across two iteration counts,",
+        "  cancelling the attachment's ~0.15-0.3 s per-call fixed dispatch",
+        "  cost exactly); the per-iter column and %roofline use the marginal",
+        "  when present — the single-call train phase overstates short",
+        "  steady states by that fixed term.",
         "- '%roofline' compares the measured TRAIN wall (end-to-end wall for",
         "  pre-round-4 rows — conservative) against the formulation's hardware",
         "  minimum, recomputed at render time with the current model",
@@ -305,8 +347,9 @@ def format_markdown(rows: list[dict]) -> str:
         "  gradient matmuls cost their true k — over the MXU peak (197",
         "  TFLOP/s bf16; f32 at highest precision = 6 passes, bf16x3 = 3),",
         "  plus a 0.75 us fixed in-loop cost per iteration (bounded by the",
-        "  smallest committed rows) and, for the streamed kernel, one",
-        "  HBM read of transposed A per iteration. Calibration: the ML100k",
+        "  smallest committed rows); the streamed kernel's per-iteration HBM",
+        "  read of transposed A is double-buffered behind the MXU passes, so",
+        "  the floor takes max(MXU, A-traffic). Calibration: the ML100k",
         "  1-pass row measures AT the padded 1-pass model (4.0 us/iter,",
         "  bench_logs/r5_probe_resident.log). 100% = speed of light for that",
         "  formulation. Host-routed and software-f64 dense rows have no model.",
@@ -517,7 +560,8 @@ def _recompute_roofline(rows: list[dict]) -> None:
             else RunConfig(dtype=r["dtype"])
         )
         model, pct = pct_of_roofline(
-            spec, cfg, r["path"], r.get("train_s") or r["wall_s"]
+            spec, cfg, r["path"],
+            r.get("train_marginal_s") or r.get("train_s") or r["wall_s"],
         )
         r["roofline_model"], r["pct_roofline"] = model, pct
 
