@@ -98,6 +98,21 @@ def _fixture_dir() -> str:
     return os.path.join(here, "tests", "fixtures")
 
 
+def effective_train_s(r: dict):
+    """The wall %roofline should divide by: the marginal (slope) train
+    when the row has a TRUSTWORTHY one, else the single-call train
+    phase, else the end-to-end wall.  Differencing two phase walls each
+    carrying ~±ms of sync-floor noise is meaningless for short trains,
+    so the marginal is trusted only when the train phase is >= 0.2 s
+    and the slope explains at least half of it (a 'fixed cost' above
+    50% of a full train is noise, not dispatch)."""
+    t = r.get("train_s")
+    m = r.get("train_marginal_s")
+    if m and t and t >= 0.2 and m >= 0.5 * t:
+        return m
+    return t or r.get("wall_s")
+
+
 def run_instance(name: str, dtype: str, repeats: int):
     from recsys_tpu.config import RunConfig
     from recsys_tpu.engine import trainer
@@ -200,7 +215,12 @@ def run_instance(name: str, dtype: str, repeats: int):
     chosen = trainer.choose_path(spec, cfg)
     from recsys_tpu.bench.roofline import pct_of_roofline
 
-    rl_model, rl_pct = pct_of_roofline(spec, cfg, chosen, train_marginal_s or train_s or wall)
+    rl_model, rl_pct = pct_of_roofline(
+        spec, cfg, chosen,
+        effective_train_s(
+            {"train_s": train_s, "train_marginal_s": train_marginal_s, "wall_s": wall}
+        ),
+    )
     import jax
 
     row = {
@@ -303,7 +323,9 @@ def format_markdown(rows: list[dict]) -> str:
         rlcol = "-" if pct is None else f"{pct:g}% {r.get('roofline_model', '')}"
         train = r.get("train_s")
         traincol = "-" if train is None else f"{train:g}"
-        pit = r.get("per_iter_marginal_ms") or r.get("per_iter_ms")
+        pit = r.get("per_iter_ms")
+        if r.get("train_marginal_s") and effective_train_s(r) == r["train_marginal_s"]:
+            pit = r.get("per_iter_marginal_ms")
         pitcol = "-" if pit is None else f"{pit:g}"
         pathcol = r["path"] + (" (cpu)" if r.get("backend") == "cpu" else "")
         lines.append(
@@ -560,8 +582,7 @@ def _recompute_roofline(rows: list[dict]) -> None:
             else RunConfig(dtype=r["dtype"])
         )
         model, pct = pct_of_roofline(
-            spec, cfg, r["path"],
-            r.get("train_marginal_s") or r.get("train_s") or r["wall_s"],
+            spec, cfg, r["path"], effective_train_s(r),
         )
         r["roofline_model"], r["pct_roofline"] = model, pct
 

@@ -690,15 +690,30 @@ def _pallas_fused_top1(spec: ProblemSpec, precision: str) -> np.ndarray:
             A = pallas_dense.device_dense_AT(spec, U, I, dtype=a_dtype)
             Lt, Rt = jnp.asarray(Lt), jnp.asarray(Rt)
             psync((A, Lt, Rt))
-        train_top1 = (
-            pallas_dense.resident_train_top1
-            if kind == "resident"
-            else pallas_dense.stream_train_top1
-        )
-        # The fused kernel's top-1 is one extra strip pass out of
-        # ``iters`` — counted as train (it is inseparable by design).
+        if kind == "stream":
+            # SPLIT, not fused: predicating the train body on
+            # ``it < n_iters`` costs 16-24% on every streamed training
+            # iteration (measured by slope at ML1M shape — see
+            # pallas_dense.stream_top1), so the top-1 runs as its own
+            # one-pass kernel over the final factors instead.
+            with phase("train") as psync:
+                Ltp, Rtp = pallas_dense.stream_train(
+                    Lt, Rt, A,
+                    iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
+                    precision=precision,
+                )
+                psync(Ltp)
+            with phase("top1"):
+                top1 = pallas_dense.stream_top1(
+                    Ltp, Rtp, A, strip=strip, precision=precision,
+                    items_true=spec.items,
+                )
+                return np.asarray(top1)[0, : spec.users]
+        # The fused resident kernel's top-1 is one extra strip pass out
+        # of ``iters`` — counted as train (inseparable by design; the
+        # resident kernel measured NO per-iteration predication penalty).
         with phase("train") as psync:
-            _, _, top1 = train_top1(
+            _, _, top1 = pallas_dense.resident_train_top1(
                 Lt, Rt, A,
                 iters=spec.iters, alpha2=2.0 * spec.alpha, strip=strip,
                 precision=precision, items_true=spec.items,

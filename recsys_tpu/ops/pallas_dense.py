@@ -440,6 +440,68 @@ def stream_train_top1(Lt, Rt, A, *, iters: int, alpha2: float, strip: int = 512,
     )
 
 
+def _stream_top1_kernel(Lt_ref, Rt_ref, A_ref, top_ref, bv_ref, *, strip, precision, items_true):
+    """Masked top-1 over streamed transposed A from FINAL factors: the
+    fused kernel's last-pass body as its own grid — bit-identical math
+    (same per-strip ``_dot`` reconstruction, same strictly-greater
+    lowest-index running max)."""
+    s = pl.program_id(0)
+    off = s * strip
+
+    @pl.when(s == 0)
+    def _():
+        bv_ref[:] = jnp.full_like(bv_ref, -jnp.inf)
+        top_ref[:] = jnp.zeros_like(top_ref)
+
+    a = A_ref[:].astype(jnp.float32)
+    if A_ref.dtype == jnp.int8:
+        a = a * jnp.float32(0.5)
+    rt = Rt_ref[:, pl.dslice(off, strip)]
+    U = Lt_ref.shape[1]
+    b = _dot(rt, Lt_ref[:], (((0,), (0,)), ((), ())), precision)  # (strip, U)
+    row = jax.lax.broadcasted_iota(jnp.int32, (strip, U), 0) + off
+    b = jnp.where((a != 0.0) | (row >= items_true), -jnp.inf, b)
+    val = jnp.max(b, axis=0, keepdims=True)
+    idx = jnp.argmax(b, axis=0, keepdims=True).astype(jnp.int32) + off
+    take = val > bv_ref[:]
+    bv_ref[:] = jnp.where(take, val, bv_ref[:])
+    top_ref[:] = jnp.where(take, idx, top_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("strip", "interpret", "precision", "items_true"))
+def stream_top1(Lt, Rt, A, *, strip: int = 512, interpret: bool | None = None, precision: str = "highest", items_true: int):
+    """Standalone masked top-1 companion to ``stream_train``.
+
+    Why not always the fused ``stream_train_top1``: wrapping the train
+    body in ``pl.when(it < n_iters)`` costs 16-24% on EVERY training
+    iteration of the streamed kernel (measured by slope at ML1M shape:
+    plain stream 417 us/iter f32 / 195 f32x3 vs fused 516 / 227,
+    bench_logs/r5_probe_ml1m_stream.log + marginal sweep rows) — far
+    more than the one extra A pass this separate kernel costs once.
+    The resident kernel shows no such penalty and stays fused."""
+    K, U = Lt.shape
+    I = Rt.shape[1]
+    assert A.shape == (I, U) and I % strip == 0
+    n_strips = I // strip
+    kernel = functools.partial(
+        _stream_top1_kernel, strip=strip, precision=precision, items_true=items_true
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        out_shape=jax.ShapeDtypeStruct((1, U), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((K, U), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, I), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((strip, U), lambda s: (s, 0)),  # streamed
+        ],
+        out_specs=pl.BlockSpec((1, U), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        interpret=_interpret(interpret),
+    )(Lt, Rt, A)
+
+
 def stream_vmem_bytes(spec, strip: int = 512, a_bytes: int = 4) -> int:
     """Estimated VMEM working set of the streamed kernel: factor tables
     (in + out + accumulators) plus double-buffered A strips and one

@@ -51,7 +51,8 @@ def main():
     for (name, dtype), r in sorted(latest.items()):
         if r.get("path") != "bell" or r.get("backend") == "cpu":
             continue
-        wall = r.get("train_marginal_s") or r.get("train_s") or r["wall_s"]
+        from recsys_tpu.bench.sweep import effective_train_s
+        wall = effective_train_s(r)
         if name not in specs:
             from recsys_tpu.io.generator import ensure_fixture
 
@@ -99,7 +100,7 @@ def main():
         if dtype != "float64" or r.get("path") != "bell" or r.get("backend") == "cpu":
             continue
         spec = specs.get(name)
-        wall = r.get("train_marginal_s") or r.get("train_s")
+        wall = effective_train_s(r) if (r.get("train_s") or r.get("train_marginal_s")) else None
         if spec is None or not wall:
             continue
         saved = roofline.F64_VPU_OPS_PER_S

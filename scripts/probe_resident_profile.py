@@ -85,8 +85,16 @@ def slope(name, fn):
         return None
 
 
-def train_fn(A, precision, strip=None):
+def train_fn(A, precision, strip=None, top1=False):
     strip = strip or args.strip
+    if top1:
+        kernel = pd.stream_train_top1 if args.kernel == "stream" else pd.resident_train_top1
+        def f(L0, iters):
+            return kernel(
+                L0, jnp.asarray(Rt), A, iters=iters, alpha2=2.0 * spec.alpha,
+                strip=strip, precision=precision, items_true=spec.items,
+            )
+        return f
     kernel = pd.stream_train if args.kernel == "stream" else pd.resident_train
     def f(L0, iters):
         return kernel(
@@ -130,6 +138,7 @@ VARIANTS = {
     "full prec=default A=f32": lambda: train_fn(A32, "default"),
     "full prec=highest A=int8": lambda: train_fn(A8, "highest"),
     "full prec=highest strip=x2": lambda: train_fn(A32, "highest", strip=2 * args.strip),
+    "full+top1 prec=highest A=int8": lambda: train_fn(A8, "highest", top1=True),
     "matmul-only prec=highest": lambda: matmul_only("highest"),
     "matmul-only prec=default": lambda: matmul_only("default"),
 }
