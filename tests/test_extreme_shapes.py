@@ -76,6 +76,24 @@ def test_inst1e6_100_shape_executes():
     np.testing.assert_allclose(np.asarray(st_b.R), np.asarray(st_c.R), rtol=2e-5, atol=2e-7)
 
 
+def test_inst1000_1e6_golden_integrity():
+    """The golden minted in round 5 from the reference's own serial
+    binary (the upstream `.out` is 0 bytes — provenance and the two
+    independent reference builds in fixtures/README.md): structural
+    checks that need no 2e12-FLOP B product — one line per user (no
+    user rates all 1M items), indices in range, and no user recommended
+    an item they rated.  The full byte-exact validation of the numpy
+    f64 oracle against it ran offline and is recorded with its date in
+    fixtures/README.md."""
+    golden = open(FIXTURES / "inst1000-1e6-1000-1-3.out").read().splitlines()
+    spec = load_problem(str(FIXTURES / "inst1000-1e6-1000-1-3.in"))
+    assert len(golden) == spec.users == 1000
+    top = np.array([int(x) for x in golden])
+    assert ((0 <= top) & (top < spec.items)).all()
+    rated = set(zip(spec.rows.tolist(), spec.cols.tolist()))
+    assert not any((u, t) in rated for u, t in enumerate(top.tolist()))
+
+
 def test_extreme_shape_bell_tables_are_small():
     # BELL's working set for 1000x1M is O(nnz + dims), not O(cells):
     # the degree-sorted layout never materializes anything items-sized
