@@ -433,12 +433,23 @@ def _a_storage(spec: ProblemSpec):
     return jnp.float32, 4
 
 
-# f32-A preference cap for the resident kernel at `highest` precision:
-# padded f32 A at most this big measured faster than compact storage
-# (dequant-bound); above it the compact form wins (VMEM-traffic-bound).
-# Bounds: instML100k 8 MB (f32 wins +25-30%), inst600-10000 26 MB
-# (f32 loses 43%) — set between them, nearer the measured winner.
-A32_RESIDENT_CAP_BYTES = 16 << 20
+# f32-A preference cap for the resident kernel at `highest` precision —
+# DISABLED (0) after a two-layer adjudication (round 5):
+# * PLAIN-kernel slope probes (resident_train direct) measured compact A
+#   +18-31% slower at ML100k shape in two windows (f32 25.6/29.1 us/iter
+#   vs int8 33.5/39.0; bench_logs/r5_probe_resident*.log) — which
+#   motivated preferring f32 A under the cap.
+# * ENGINE-level marginals (the fused resident_train_top1 the engine
+#   actually runs) show PARITY: int8 28.5 us/iter vs f32 28.9 at ML100k
+#   — the plain-kernel delta does not transfer to the fused kernel —
+#   while f32 A quadruples the A upload through the remote attachment
+#   (0.069 s -> ~0.18 s, the dominant end-to-end wall term at this
+#   size).  And at large-A shapes (inst600-10000, 26 MB) f32 A LOSES
+#   outright (101.4 vs int8's engine 100.4, plain-kernel worse).
+# Compact exact storage therefore stays the choice everywhere; the gate
+# is kept (set a byte cap to re-enable) for hardware where uploads are
+# not tunneled.
+A32_RESIDENT_CAP_BYTES = 0
 
 
 def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False,
@@ -447,23 +458,12 @@ def _resident_a_dtype(spec: ProblemSpec, strip: int, fused_top1: bool = False,
     does not fit VMEM.  ``fused_top1`` applies the tighter budget of the
     variant that also reconstructs B in-kernel.
 
-    Under the 6-pass ``highest`` product the A-storage dtype cuts both
-    ways, measured by slope (scripts/probe_resident_profile.py,
-    bench_logs/r5_probe_resident*.log, r5_probe_ml100k_s896.log,
-    r5_probe_inst600.log), same-window A/Bs:
-
-    * SMALL A: the per-cell dequant dominates — ML100k (8 MB f32 A)
-      f32 A 25.6 us/iter vs bf16 30.3 vs int8 33.5 (+18-31%), and again
-      29.1 vs 39.0 at the plan's own strip.
-    * LARGE A: VMEM traffic/capacity dominates — inst600-10000 (26 MB
-      f32 A) int8 70.7 us/iter vs f32 101.4 (f32 LOSES 43%).
-
-    So f32 A is preferred only when it fits the budget AND the padded A
-    stays under A32_RESIDENT_CAP_BYTES (between the two measured
-    shapes); compact storage is the fallback (it exists to fit bigger
-    shapes).  Under bf16x3/default the compact forms measured at parity
-    or better (int8 16.0 vs f32 17.1 us/iter at strip 512; 14.6 at the
-    plan strip) and keep their VMEM headroom."""
+    The A-storage dtype was adjudicated at two layers in round 5 (see
+    A32_RESIDENT_CAP_BYTES): plain-kernel slope probes showed compact A
+    +18-31% slower at small shapes under the 6-pass product, but the
+    FUSED kernel the engine runs measures at parity while compact
+    storage keeps the A upload 4x smaller — so compact exact storage is
+    the choice everywhere and the f32-A gate ships disabled (cap 0)."""
     a_dtype, a_bytes = _a_storage(spec)
     u128 = -(-spec.users // 128) * 128
     i_pad = -(-spec.items // strip) * strip

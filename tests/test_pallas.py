@@ -329,13 +329,13 @@ def test_pallas_plan_dispatch():
     assert trainer._pallas_plan(tall)[0] == "tiled"
 
 
-def test_pallas_plan_a_storage_precision_aware():
-    """A-storage policy (round 5, probe_resident_profile by slope):
-    under the 6-pass 'highest' product compact A measured +18-31%
-    slower in the resident kernel, so f32 A is preferred when it also
-    fits; bf16x3/default keep the compact form (measured parity, more
-    VMEM headroom).  Compact storage remains the FITTING fallback:
-    results are storage-invariant either way."""
+def test_pallas_plan_a_storage_compact_everywhere():
+    """A-storage adjudication (round 5, trainer.A32_RESIDENT_CAP_BYTES):
+    compact exact storage wins END-TO-END at every measured shape —
+    engine-level per-iteration parity with f32 A but a 4x smaller upload
+    through the remote attachment — so the plan keeps int8/bf16/f32 by
+    exactness alone at every precision.  The f32-A gate exists but is
+    disabled (cap 0); results are storage-invariant either way."""
     import jax.numpy as jnp
 
     from recsys_tpu.engine import trainer
@@ -343,14 +343,12 @@ def test_pallas_plan_a_storage_precision_aware():
 
     from helpers import FIXTURES
 
+    assert trainer.A32_RESIDENT_CAP_BYTES == 0
     spec = load_problem(str(FIXTURES / "instML100k.in"))  # int8-exact ratings
     kind_h, a_h, _ = trainer._pallas_plan(spec, precision="highest")
     kind_3, a_3, _ = trainer._pallas_plan(spec, precision="bf16x3")
-    assert kind_h == kind_3 == "resident"  # the preference never changes kind
-    assert a_h == jnp.float32  # 8 MB padded A: under the cap, dequant-bound
-    assert a_3 == jnp.int8
-    # Above the cap (inst600-10000 shape: 26 MB padded f32 A) the
-    # compact form measured 43% faster — highest keeps it.
+    assert kind_h == kind_3 == "resident"
+    assert a_h == a_3 == jnp.int8
     big = load_problem(str(FIXTURES / "inst600-10000-10-40-400.in"))
     kind_b, a_b, _ = trainer._pallas_plan(big, precision="highest")
     assert kind_b == "resident"
