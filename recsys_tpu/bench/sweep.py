@@ -665,13 +665,26 @@ def _f64_feasible(name: str, cell_limit: int) -> bool:
         return False
     spec = load_problem(path)
     # Even sparse-path f64 needs both factor tables (plus the device
-    # un-permute's gather copy) resident in f64: cap at half of HBM.
+    # un-permute's gather copy) resident in f64: cap at half of HBM —
+    # unless the run is forced onto the CPU backend, whose budget is
+    # host RAM (the inst1000-1e6 f64 conformance row lives there: its
+    # 16 GB of k=1000 factor tables can never fit the 16 GB chip, and
+    # CLAUDE.md forbids HBM-edge probes through this attachment anyway).
+    import jax
+
+    on_cpu = jax.config.jax_platforms == "cpu"
     factor_bytes = 2 * 2 * (spec.users + spec.items) * spec.features * 8
-    if factor_bytes > 8 << 30:
+    if factor_bytes > (48 << 30 if on_cpu else 8 << 30):
+        print(f"skip {name}: f64 factor tables exceed the backend budget",
+              file=sys.stderr)
         return False
     if trainer.choose_path(spec, RunConfig(dtype="float64")) != "dense":
         return True
-    return spec.users * spec.items <= cell_limit
+    ok = spec.users * spec.items <= cell_limit
+    if not ok:
+        print(f"skip {name}: dense-path f64 above the {cell_limit:,}-cell limit",
+              file=sys.stderr)
+    return ok
 
 
 if __name__ == "__main__":
