@@ -444,7 +444,8 @@ def _stream_top1_kernel(Lt_ref, Rt_ref, A_ref, top_ref, bv_ref, *, strip, precis
     """Masked top-1 over streamed transposed A from FINAL factors: the
     fused kernel's last-pass body as its own grid — bit-identical math
     (same per-strip ``_dot`` reconstruction, same strictly-greater
-    lowest-index running max)."""
+    running max preserving the reference's lowest-index tie-break,
+    ``matFact.c:17``)."""
     s = pl.program_id(0)
     off = s * strip
 
