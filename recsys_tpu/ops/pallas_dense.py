@@ -475,10 +475,11 @@ def stream_top1(Lt, Rt, A, *, strip: int = 512, interpret: bool | None = None, p
 
     Why not always the fused ``stream_train_top1``: wrapping the train
     body in ``pl.when(it < n_iters)`` costs 16-24% on EVERY training
-    iteration of the streamed kernel (measured by slope at ML1M shape:
-    plain stream 417 us/iter f32 / 195 f32x3 vs fused 516 / 227,
-    bench_logs/r5_probe_ml1m_stream.log + marginal sweep rows) — far
-    more than the one extra A pass this separate kernel costs once.
+    iteration of the streamed kernel (same-window A/B at ML1M shape:
+    plain stream 456.5 us/iter vs fused 517.7 at highest/int8-A —
+    bench_logs/r5_probe_stream_split_ab.log; the cross-window tier
+    sweep agrees, r5_probe_ml1m_stream.log) — far more than the one
+    extra A pass this separate kernel costs once.
     The resident kernel shows no such penalty and stays fused."""
     K, U = Lt.shape
     I = Rt.shape[1]
