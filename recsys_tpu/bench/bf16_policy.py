@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import sys
 
-FLOOR = 0.98  # keep in sync with bench/sweep.py::BF16_MIN_AGREEMENT
+from recsys_tpu.bench.sweep import BF16_MIN_AGREEMENT as FLOOR  # one floor, everywhere
 
 # (users, items, features, iters) -> measured argmax agreement vs exact f64.
 # Source: bench_results.jsonl round-4 sweep rows (rendered in BENCHMARKS.md).

@@ -221,6 +221,9 @@ def train_cost_model(spec, cfg, path: str):
         kp = -(-k // 128) * 128
         users_p, items_p = spec.users, spec.items
         a_traffic = 0.0
+        # The fixed in-loop cost is a PALLAS kernel property (loop carry,
+        # strip bookkeeping); the XLA 'dense' path never pays it.
+        iter_floor = PALLAS_ITER_FLOOR_S if path == "pallas" else 0.0
         if path == "pallas":
             from recsys_tpu.engine import trainer
 
@@ -243,7 +246,7 @@ def train_cost_model(spec, cfg, path: str):
         # read overlaps the MXU passes: the floor is whichever stream is
         # longer, not their sum (measured: ML1M default-precision f32-A
         # runs BELOW the additive form, r5_probe_ml1m_stream.log).
-        return "mxu", max(flops_per_iter / (peak * 1e12), a_traffic) + PALLAS_ITER_FLOOR_S
+        return "mxu", max(flops_per_iter / (peak * 1e12), a_traffic) + iter_floor
     return None, None
 
 

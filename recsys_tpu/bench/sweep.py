@@ -677,7 +677,11 @@ def _f64_feasible(name: str, cell_limit: int) -> bool:
     # CLAUDE.md forbids HBM-edge probes through this attachment anyway).
     import jax
 
-    on_cpu = jax.config.jax_platforms == "cpu"
+    # default_backend(), not the jax_platforms config: the config is only
+    # 'cpu' when forced via --backend, while a CPU-only host (or any
+    # environment where the attachment plugin re-registers platforms)
+    # still resolves its actual backend here.
+    on_cpu = jax.default_backend() == "cpu"
     factor_bytes = 2 * 2 * (spec.users + spec.items) * spec.features * 8
     if factor_bytes > (48 << 30 if on_cpu else 8 << 30):
         print(f"skip {name}: f64 factor tables exceed the backend budget",

@@ -150,12 +150,8 @@ def main(argv=None):
         with prof, Timer() as t:
             spec = load_problem(args.input)
             _banner(spec)
-            if cfg.dtype == "bfloat16":
-                from recsys_tpu.bench.bf16_policy import check as _bf16_check
-
-                if not _bf16_check(spec, strict=args.strict):
-                    print("error: refusing bfloat16 under --strict", file=sys.stderr)
-                    return 2
+            if not _bf16_gate(spec, cfg, args):
+                return 2
             if args.checkpoint:
                 from recsys_tpu.engine import trainer
                 from recsys_tpu.utils.checkpoint import run_with_checkpoints
@@ -175,12 +171,8 @@ def main(argv=None):
     if args.cmd == "bench":
         spec = load_problem(args.input)
         _banner(spec)
-        if cfg.dtype == "bfloat16":
-            from recsys_tpu.bench.bf16_policy import check as _bf16_check
-
-            if not _bf16_check(spec, strict=args.strict):
-                print("error: refusing bfloat16 under --strict", file=sys.stderr)
-                return 2
+        if not _bf16_gate(spec, cfg, args):
+            return 2
         # Warm-up run compiles everything.
         _dispatch_run(spec, cfg)
         times = []
@@ -204,6 +196,19 @@ def main(argv=None):
         )
         return 0
     return 1
+
+
+def _bf16_gate(spec, cfg, args) -> bool:
+    """bfloat16 acceptance gate shared by run/bench (bf16_policy): warn
+    with the benched per-shape agreement; False = refused under --strict."""
+    if cfg.dtype != "bfloat16":
+        return True
+    from recsys_tpu.bench.bf16_policy import check
+
+    if check(spec, strict=args.strict):
+        return True
+    print("error: refusing bfloat16 under --strict", file=sys.stderr)
+    return False
 
 
 def _dispatch_run(spec, cfg):

@@ -51,9 +51,28 @@ spec = load_problem(f"tests/fixtures/{args.instance}.in")
 Lt, Rt, (U, I, K) = pd.pad_factors_for_pallas(spec, strip=args.strip)
 print(f"padded U={U} I={I} K={K}; slope over iters {N1}->{N2}", flush=True)
 
-A32 = pd.device_dense_AT(spec, U, I, dtype=jnp.float32)
-a_dtype = jnp.int8 if pd.vals_int8_exact(spec) else jnp.float32
-A8 = pd.device_dense_AT(spec, U, I, dtype=a_dtype)
+# A-storage variants materialize LAZILY (memoized): uploading all three
+# dense forms through the relay costs ~175 MB of tunnel traffic at ML1M
+# shape even when --variants selects one of them.
+_A_cache = {}
+
+
+def _A(dtype):
+    if dtype not in _A_cache:
+        _A_cache[dtype] = pd.device_dense_AT(spec, U, I, dtype=dtype)
+    return _A_cache[dtype]
+
+
+def A32():
+    return _A(jnp.float32)
+
+
+def A8():
+    return _A(jnp.int8 if pd.vals_int8_exact(spec) else jnp.float32)
+
+
+def Abf16():
+    return _A(jnp.bfloat16)
 
 
 def wall(fn, iters, rep):
@@ -85,8 +104,9 @@ def slope(name, fn):
         return None
 
 
-def train_fn(A, precision, strip=None, top1=False):
+def train_fn(A_fn, precision, strip=None, top1=False):
     strip = strip or args.strip
+    A = A_fn()
     if top1:
         kernel = pd.stream_train_top1 if args.kernel == "stream" else pd.resident_train_top1
         def f(L0, iters):
@@ -110,7 +130,7 @@ def matmul_only(precision):
     (transposed-A orientation, matching the round-4 kernels)."""
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     Rtj = jnp.asarray(Rt)
-    A = A32  # (I, U) transposed
+    A = A32()  # (I, U) transposed
 
     def body(_, carry):
         Ltc, acc = carry
@@ -126,8 +146,6 @@ def matmul_only(precision):
 
     return jax.jit(f, static_argnums=1)
 
-
-Abf16 = pd.device_dense_AT(spec, U, I, dtype=jnp.bfloat16)
 
 VARIANTS = {
     "full prec=highest A=f32": lambda: train_fn(A32, "highest"),

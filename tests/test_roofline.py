@@ -84,9 +84,15 @@ def test_committed_f64_rows_sit_under_the_ceiling():
             if k not in best or r["train_s"] < best[k]["train_s"]:
                 best[k] = r
     assert len(best) >= 5  # the sweep covers these instances
+    from recsys_tpu.bench.sweep import effective_train_s
+
     for name, r in best.items():
         spec = load_problem(str(FIXTURES / f"{name}.in"))
-        model, pct = pct_of_roofline(spec, RunConfig(dtype="float64"), "bell", r["train_s"])
+        # Score with the SAME wall the render uses (the marginal when
+        # trusted) — a ceiling breach in the marginal must fail here.
+        model, pct = pct_of_roofline(
+            spec, RunConfig(dtype="float64"), "bell", effective_train_s(r)
+        )
         assert model == "gather+f64vpu"
         assert pct is not None and 40.0 <= pct <= 100.0, (name, pct)
 
